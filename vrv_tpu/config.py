@@ -1,0 +1,134 @@
+"""Configuration dataclasses + CLI.
+
+The reference has no config system at all — every knob is a compile-time
+constant (reference src/render_system/pathtrace_shader.rs:890-891 spp/bounces,
+src/game_system/chunk.rs:13-15 chunk size, src/game_system/chunk_manager.rs:30-37
+render radii, src/game_system/ego_controls_manager.rs:141-143 movement).
+Here those constants become one dataclass with the reference values as
+defaults; spp is a real runtime knob (bucketed jit) rather than the
+reference's dead `samples` push constant (pathtrace_shader.rs:71 is ignored
+by the kernel loop at :907).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Knobs of the path-trace kernel suite.
+
+    Defaults mirror the reference's compile-time constants:
+      - samples_per_pixel / max_bounces: pathtrace_shader.rs:890-891
+      - sky_emission: pathtrace_shader.rs:701 (vec3(50))
+      - emission_gain: pathtrace_shader.rs:754 (1000 * tex * cos)
+      - nee_mis_clamp / nee_importance_scale: pathtrace_shader.rs:788
+        (clamp(importance / 10, 0, 0.5))
+      - t_min / t_max: pathtrace_shader.rs:653-654 (EPSILON_BLOCK, 1000)
+      - jitter_scale: pathtrace_shader.rs:915-919 (0.01 / screen axis)
+    """
+
+    width: int = 800
+    height: int = 600
+    samples_per_pixel: int = 4
+    max_bounces: int = 4
+    sky_emission: float = 50.0
+    emission_gain: float = 1000.0
+    nee_importance_scale: float = 10.0
+    nee_mis_clamp: float = 0.5
+    t_min: float = 0.001          # EPSILON_BLOCK, pathtrace_shader.rs:14
+    t_max: float = 1000.0
+    jitter_scale: float = 0.01
+    enable_nee: bool = True       # do_nee flag, pathtrace_shader.rs:924 passes true
+    # 'megakernel' = fused lax.scan over bounces (parity-first, reference-shaped);
+    # 'wavefront'  = per-bounce Pallas kernels with ray compaction (perf-first,
+    # the formulation the reference found faster on its wavefront branch,
+    # reference README.md:31).
+    mode: str = "megakernel"
+    # Accumulate frames progressively (the capability the reference's
+    # postprocess_shader.rs stub reserved space for; the shipped branch
+    # renders independent frames, see SURVEY.md quirk Q2).
+    progressive: bool = False
+    dtype: str = "float32"
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class WorldConfig:
+    """World/grid parameters.
+
+    Worldgen math mirrors reference src/game_system/chunk.rs:69-96:
+    density = noise(w / noise_scale) - y / y_falloff, solid iff > threshold,
+    grass if the block above is non-solid else stone.
+    """
+
+    size: Tuple[int, int, int] = (128, 128, 128)
+    # world-space coordinate of grid cell (0,0,0); the reference generates
+    # chunks centred on the ego's chunk, so the default centres the grid
+    # on the origin.
+    origin: Tuple[int, int, int] = (-64, -64, -64)
+    seed: int = 0
+    noise_scale: float = 20.0     # chunk.rs:69
+    y_falloff: float = 500.0      # chunk.rs:78
+    threshold: float = 0.2        # chunk.rs:84
+    chunk_size: Tuple[int, int, int] = (32, 32, 32)  # chunk.rs:13-15
+    min_render_radius: int = 6    # chunk_manager.rs:30-32
+    max_render_radius: int = 8    # chunk_manager.rs:35-37
+
+    def replace(self, **kw) -> "WorldConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Game-loop parameters (reference ego_controls_manager.rs / physics_manager.rs)."""
+
+    gravity_y: float = -9.81            # physics_manager.rs:192
+    dt: float = 1.0 / 60.0              # rapier IntegrationParameters::default()
+    move_magnitude_kinematic: float = 10.0   # ego_controls_manager.rs:141
+    rotate_magnitude: float = 2.0            # ego_controls_manager.rs:142
+    jump_magnitude_kinematic: float = 10.0   # ego_controls_manager.rs:143
+    move_magnitude_dynamic: float = 5.0      # ego_controls_manager.rs:177
+    jump_magnitude_dynamic: float = 7.0      # ego_controls_manager.rs:179
+    block_edit_cooldown_ms: float = 300.0    # ego_controls_manager.rs:248,259
+    pick_radius: float = 10.0                # ego_controls_manager.rs:245
+    pick_step: float = 0.01                  # chunk_manager.rs:400
+    hover_cast_distance: float = 1.0         # physics_manager.rs:206
+    grounded_threshold: float = 0.05         # physics_manager.rs:220
+    clip_threshold: float = 0.025            # physics_manager.rs:221
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vrv_tpu", description=__doc__)
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--height", type=int, default=600)
+    p.add_argument("--spp", type=int, default=4)
+    p.add_argument("--bounces", type=int, default=4)
+    p.add_argument("--grid", type=int, default=128, help="cubic grid side")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mode", choices=["megakernel", "wavefront"], default="megakernel")
+    p.add_argument("--frames", type=int, default=1)
+    p.add_argument("--out", type=str, default=None, help="PNG output path")
+    p.add_argument("--no-nee", action="store_true")
+    p.add_argument("--progressive", action="store_true")
+    return p
+
+
+def configs_from_args(args) -> Tuple[RenderConfig, WorldConfig]:
+    rc = RenderConfig(
+        width=args.width,
+        height=args.height,
+        samples_per_pixel=args.spp,
+        max_bounces=args.bounces,
+        mode=args.mode,
+        enable_nee=not args.no_nee,
+        progressive=args.progressive,
+    )
+    g = args.grid
+    wc = WorldConfig(size=(g, g, g), origin=(-g // 2, -g // 2, -g // 2), seed=args.seed)
+    return rc, wc

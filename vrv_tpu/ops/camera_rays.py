@@ -1,0 +1,62 @@
+"""Primary-ray generation (raygen).
+
+Mirrors the reference kernel's main() prologue
+(reference src/render_system/pathtrace_shader.rs:893-919):
+
+  - uv = 2 * pixel / screen_size - 1 (:886-888)
+  - per-sample sub-pixel jitter of 0.01/screen_axis (:915-918)
+  - dir = normalize((uv.x + jx) * right * aspect + (uv.y + jy) * up + front)
+  - seed chain: pixel = murmur3(x, y, frame); sample = combine(pixel, s)
+    (:899-908)
+
+Returns rays with the sample axis leading: (spp, H, W, ...) so data
+parallelism can shard samples across devices (parallel/).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vrv_tpu.ops import rng
+
+
+def raygen(
+    eye: jax.Array,
+    front: jax.Array,
+    right: jax.Array,
+    up: jax.Array,
+    width: int,
+    height: int,
+    spp: int,
+    frame,
+    jitter_scale: float = 0.01,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (origin (spp,H,W,3), direction (spp,H,W,3), sample_seed (spp,H,W) u32)."""
+    xs = jnp.arange(width, dtype=jnp.uint32)
+    ys = jnp.arange(height, dtype=jnp.uint32)
+    px = xs[None, :]
+    py = ys[:, None]
+
+    pixel_seed = rng.murmur3_combine(px, py)                       # (H, W)
+    pixel_seed = rng.murmur3_combine(pixel_seed, rng.u32(frame))
+    sample_ids = jnp.arange(spp, dtype=jnp.uint32)[:, None, None]
+    sample_seed = rng.murmur3_combine(pixel_seed[None], sample_ids)  # (spp, H, W)
+
+    uv_x = 2.0 * px.astype(jnp.float32) / width - 1.0
+    uv_y = 2.0 * py.astype(jnp.float32) / height - 1.0
+    aspect = jnp.float32(width / height)
+
+    jx = jitter_scale * (1.0 / width) * (rng.draw(sample_seed, 0) - 0.5)
+    jy = jitter_scale * (1.0 / height) * (rng.draw(sample_seed, 1) - 0.5)
+
+    d = (
+        (uv_x[None] + jx)[..., None] * right * aspect
+        + (uv_y[None] + jy)[..., None] * up
+        + front
+    )
+    d = d / jnp.sqrt((d * d).sum(-1, keepdims=True))
+    o = jnp.broadcast_to(eye, d.shape)
+    return o, d, sample_seed

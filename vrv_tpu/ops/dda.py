@@ -1,0 +1,318 @@
+"""Voxel ray tracing: Amanatides-Woo 3D-DDA over a dense grid.
+
+This is the TPU-native replacement for the reference's Vulkan ray query
+against a TLAS/BLAS of chunk meshes (reference
+src/render_system/pathtrace_shader.rs:652-686 + scene.rs TLAS lifecycle):
+TPUs have no RT hardware, and every triangle in the reference's world
+geometry is an axis-aligned voxel face (chunk.rs:147-281), so marching the
+grid directly yields the *same hit set* as the hardware traversal:
+
+  - a face exists between cells P -> Q iff the owning cell renders
+    (is not air) and the neighbouring cell is translucent
+    (block.rs:121-127, chunk.rs:212-275);
+  - ray queries use no cull flags (pathtrace_shader.rs:659), so faces are
+    hit from both sides: we report "entering" hits (face of Q, normal
+    against the ray) and "exiting" hits (face of P, normal along the ray,
+    which is how the reference sees terrain from inside);
+  - hits with t outside [t_min, t_max] = [EPSILON_BLOCK, 1000] are ignored
+    (pathtrace_shader.rs:653-654).
+
+Everything here is shape-static, mask-vectorized jnp over a flat ray
+batch — it jits for TPU (and is the oracle-tested reference for the
+Pallas kernels in ops/pallas/).
+
+Face indexing matches block.rs BlockFace: 0=left(-x) 1=right(+x)
+2=down(-y) 3=up(+y) 4=back(-z) 5=front(+z).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BIG = jnp.float32(3.0e38)
+
+# ---------------------------------------------------------------------------
+# Per-(face, triangle) shading frames.
+#
+# The reference derives the tangent frame from the hit triangle's edges
+# (pathtrace_shader.rs:345-357): normal = cross(e01, e02), tangent = e01,
+# bitangent = cross(normal, tangent). Voxel faces are axis-aligned quads of
+# two fixed triangles (chunk.rs:211-275), so the frames are *constants* per
+# (face, triangle). Values below were derived symbolically from the mesh
+# winding tables; test_dda.py re-derives them numerically from
+# game.chunk.FACE_POSITIONS as an oracle.
+#
+# Triangle selection: each quad splits along the a+b=1 diagonal of its
+# in-plane fractional coords (a, b) = the two world axes spanning the face
+# in axis order; tri1 iff a + b > 1.
+# ---------------------------------------------------------------------------
+
+_S2 = 1.0 / np.sqrt(2.0, dtype=np.float64)
+
+FACE_NORMALS = np.array(
+    [[-1, 0, 0], [1, 0, 0], [0, -1, 0], [0, 1, 0], [0, 0, -1], [0, 0, 1]], np.float32
+)
+
+# (6 faces, 2 tris, 3) tangent / bitangent
+FACE_TANGENTS = np.array(
+    [
+        [[0, _S2, -_S2], [0, 0, -1]],          # left
+        [[0, -_S2, _S2], [0, 0, 1]],           # right
+        [[1, 0, 0], [0, 0, 1]],                # down
+        [[_S2, 0, -_S2], [1, 0, 0]],           # up
+        [[_S2, -_S2, 0], [1, 0, 0]],           # back
+        [[1, 0, 0], [0, 1, 0]],                # front
+    ],
+    np.float32,
+)
+FACE_BITANGENTS = np.array(
+    [
+        [[0, -_S2, -_S2], [0, -1, 0]],         # left
+        [[0, -_S2, -_S2], [0, -1, 0]],         # right
+        [[0, 0, 1], [-1, 0, 0]],               # down
+        [[-_S2, 0, -_S2], [0, 0, -1]],         # up
+        [[-_S2, -_S2, 0], [0, -1, 0]],         # back
+        [[0, 1, 0], [-1, 0, 0]],               # front
+    ],
+    np.float32,
+)
+
+# uv = const + coeff . frac  (derived from chunk.rs uv tables; see SURVEY)
+# rows: face; cols: [const_u, du/dx, du/dy, du/dz]
+FACE_U_AFFINE = np.array(
+    [
+        [1, 0, 0, -1],   # left:  u = 1 - fz
+        [0, 0, 0, 1],    # right: u = fz
+        [0, 1, 0, 0],    # down:  u = fx
+        [1, -1, 0, 0],   # up:    u = 1 - fx
+        [0, 1, 0, 0],    # back:  u = fx
+        [1, -1, 0, 0],   # front: u = 1 - fx
+    ],
+    np.float32,
+)
+FACE_V_AFFINE = np.array(
+    [
+        [1, 0, -1, 0],   # left:  v = 1 - fy
+        [1, 0, -1, 0],   # right: v = 1 - fy
+        [0, 0, 0, 1],    # down:  v = fz
+        [0, 0, 0, 1],    # up:    v = fz
+        [1, 0, -1, 0],   # back:  v = 1 - fy
+        [1, 0, -1, 0],   # front: v = 1 - fy
+    ],
+    np.float32,
+)
+
+# in-plane axis selectors per face for the triangle diagonal test:
+# (a_axis, b_axis) in world-axis order
+FACE_PLANE_AXES = np.array(
+    [[1, 2], [1, 2], [0, 2], [0, 2], [0, 1], [0, 1]], np.int32
+)
+
+
+class TraceResult(NamedTuple):
+    """Per-ray hit record (grid-local coordinates)."""
+
+    hit: jax.Array        # bool
+    t: jax.Array          # float32, distance along (unit) direction
+    block: jax.Array      # uint8 id of the block owning the hit face
+    face: jax.Array       # int32 in [0, 6)
+    cell: jax.Array       # int32 (..., 3) cell coords of the owning block
+    entering: jax.Array   # bool: True if the face normal opposes the ray
+
+
+def _lookup_u8(lut: jax.Array, idx: jax.Array) -> jax.Array:
+    return jnp.take(lut, idx.astype(jnp.int32), axis=0)
+
+
+def trace(
+    grid: jax.Array,
+    translucent: jax.Array,
+    origin: jax.Array,
+    direction: jax.Array,
+    t_min: float = 0.001,
+    t_max: float = 1000.0,
+) -> TraceResult:
+    """March rays through `grid`.
+
+    Args:
+      grid: (X, Y, Z) uint8 block ids; the id `air` must satisfy
+        translucent[air] = True and is identified as len(translucent)-1.
+      translucent: (n_blocks+1,) bool lookup (air last).
+      origin, direction: (..., 3) float32 in grid-local coords (cell size 1).
+        direction need not be normalized, but t is measured in its units —
+        callers pass normalized dirs, matching the reference.
+    """
+    shape = origin.shape[:-1]
+    o = origin.reshape(-1, 3).astype(jnp.float32)
+    d = direction.reshape(-1, 3).astype(jnp.float32)
+    n = o.shape[0]
+    size = jnp.asarray(grid.shape, jnp.float32)
+    size_i = jnp.asarray(grid.shape, jnp.int32)
+    air = jnp.uint8(translucent.shape[0] - 1)
+    strides = jnp.asarray(
+        [grid.shape[1] * grid.shape[2], grid.shape[2], 1], jnp.int32
+    )
+    flat_grid = grid.reshape(-1)
+
+    def cell_block(cell, inside):
+        c = jnp.clip(cell, 0, size_i - 1)
+        flat = (c * strides).sum(-1)
+        b = jnp.take(flat_grid, flat, axis=0)
+        return jnp.where(inside, b, air)
+
+    d_safe = jnp.where(jnp.abs(d) < 1e-12, jnp.float32(1e-12), d)
+    inv_d = 1.0 / d_safe
+
+    # slab clip against [0, size]^3
+    t_lo = (0.0 - o) * inv_d
+    t_hi = (size - o) * inv_d
+    t_near = jnp.minimum(t_lo, t_hi)
+    t_far = jnp.maximum(t_lo, t_hi)
+    t_enter = t_near.max(-1)
+    t_exit = t_far.min(-1)
+    enter_axis = jnp.argmax(t_near, axis=-1)
+
+    t0 = jnp.maximum(t_enter, jnp.float32(t_min))
+    valid = (t0 <= t_exit) & (t0 <= t_max)
+
+    p0 = o + t0[:, None] * d
+    cell = jnp.clip(jnp.floor(p0).astype(jnp.int32), 0, size_i - 1)
+    cur_block = cell_block(cell, valid)
+
+    # a ray entering the grid from outside crosses into its entry cell at
+    # t_enter: that's a face hit if the entry cell renders (outside = air,
+    # which is translucent)
+    starts_outside = t_enter > t_min
+    entry_renders = cur_block != air
+    entry_face = enter_axis * 2 + jnp.where(
+        jnp.take_along_axis(d, enter_axis[:, None], axis=-1)[:, 0] > 0, 0, 1
+    )
+    hit0 = valid & starts_outside & entry_renders & (t_enter >= t_min) & (t_enter <= t_max)
+
+    state = dict(
+        alive=valid & ~hit0,
+        cell=cell,
+        cur_block=cur_block,
+        hit=hit0,
+        t=jnp.where(hit0, t_enter, jnp.float32(0.0)),
+        block=jnp.where(hit0, cur_block, air),
+        face=jnp.where(hit0, entry_face.astype(jnp.int32), 0),
+        hit_cell=jnp.where(hit0[:, None], cell, 0),
+        entering=hit0,
+        steps=jnp.int32(0),
+    )
+
+    max_steps = int(grid.shape[0] + grid.shape[1] + grid.shape[2] + 3)
+    translucent_b = translucent.astype(jnp.bool_)
+
+    def cond(s):
+        return (s["steps"] < max_steps) & s["alive"].any()
+
+    def body(s):
+        cell = s["cell"]
+        cur = s["cur_block"]
+        # t at the next boundary along each axis
+        next_b = cell.astype(jnp.float32) + (d > 0).astype(jnp.float32)
+        t_axes = (next_b - o) * inv_d
+        t_axes = jnp.where(jnp.abs(d) < 1e-12, _BIG, t_axes)
+        axis = jnp.argmin(t_axes, axis=-1)
+        t_next = jnp.take_along_axis(t_axes, axis[:, None], axis=-1)[:, 0]
+        step_sign = jnp.sign(
+            jnp.take_along_axis(d, axis[:, None], axis=-1)[:, 0]
+        ).astype(jnp.int32)
+        step = jnp.zeros_like(cell).at[jnp.arange(n), axis].set(step_sign)
+        new_cell = cell + step
+        inside = ((new_cell >= 0) & (new_cell < size_i)).all(-1)
+        new_block = cell_block(new_cell, inside)
+
+        cur_tl = _lookup_u8(translucent_b, cur)
+        new_tl = _lookup_u8(translucent_b, new_block)
+        entering_hit = (new_block != air) & cur_tl   # face of Q, toward us
+        exiting_hit = (cur != air) & new_tl          # face of P, from behind
+        in_range = (t_next >= t_min) & (t_next <= t_max)
+        any_hit = s["alive"] & in_range & (entering_hit | exiting_hit)
+
+        face_pos = axis * 2 + jnp.where(step_sign > 0, 0, 1)  # face of Q toward P
+        face_neg = axis * 2 + jnp.where(step_sign > 0, 1, 0)  # face of P toward Q
+        face = jnp.where(entering_hit, face_pos, face_neg).astype(jnp.int32)
+        hblock = jnp.where(entering_hit, new_block, cur)
+        hcell = jnp.where(entering_hit[:, None], new_cell, cell)
+
+        rec = any_hit & ~s["hit"]
+        alive = s["alive"] & ~any_hit & inside & (t_next <= t_max)
+        return dict(
+            alive=alive,
+            cell=new_cell,
+            cur_block=new_block,
+            hit=s["hit"] | any_hit,
+            t=jnp.where(rec, t_next, s["t"]),
+            block=jnp.where(rec, hblock, s["block"]),
+            face=jnp.where(rec, face, s["face"]),
+            hit_cell=jnp.where(rec[:, None], hcell, s["hit_cell"]),
+            entering=jnp.where(rec, entering_hit, s["entering"]),
+            steps=s["steps"] + 1,
+        )
+
+    s = jax.lax.while_loop(cond, body, state)
+
+    def r(x, extra=()):
+        return x.reshape(shape + extra)
+
+    return TraceResult(
+        hit=r(s["hit"]),
+        t=r(s["t"]),
+        block=r(s["block"]),
+        face=r(s["face"]),
+        cell=r(s["hit_cell"], (3,)),
+        entering=r(s["entering"]),
+    )
+
+
+def trace_brute_force(
+    grid: np.ndarray,
+    translucent: np.ndarray,
+    origin: np.ndarray,
+    direction: np.ndarray,
+    t_min: float = 0.001,
+    t_max: float = 1000.0,
+    step: float = 1e-3,
+):
+    """Tiny-step marching oracle for tests (NumPy, single ray). Slow."""
+    o = np.asarray(origin, np.float64)
+    d = np.asarray(direction, np.float64)
+    d = d / np.linalg.norm(d)
+    size = np.array(grid.shape)
+    air = len(translucent) - 1
+
+    def block_at(c):
+        if (c < 0).any() or (c >= size).any():
+            return air
+        return int(grid[tuple(c)])
+
+    t = t_min
+    prev_cell = np.floor(o + t * d).astype(np.int64)
+    while t <= t_max:
+        t += step
+        cell = np.floor(o + t * d).astype(np.int64)
+        if (cell == prev_cell).all():
+            continue
+        if np.abs(cell - prev_cell).sum() > 1:
+            return None  # crossed two boundaries within one step: ambiguous
+        p, q = block_at(prev_cell), block_at(cell)
+        if q != air and translucent[p]:
+            axis = int(np.argmax(np.abs(cell - prev_cell)))
+            face = axis * 2 + (0 if d[axis] > 0 else 1)
+            return dict(hit=True, block=q, face=face, cell=cell, entering=True)
+        if p != air and translucent[q]:
+            axis = int(np.argmax(np.abs(cell - prev_cell)))
+            face = axis * 2 + (1 if d[axis] > 0 else 0)
+            return dict(hit=True, block=p, face=face, cell=prev_cell, entering=False)
+        prev_cell = cell
+        if (cell < -1).any() or (cell > size).any():
+            break
+    return dict(hit=False)

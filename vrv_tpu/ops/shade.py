@@ -1,0 +1,209 @@
+"""Bounce shading: BSDF branches, texture fetch, NEE + MIS combination.
+
+Transcribes `doBounce` (reference src/render_system/pathtrace_shader.rs:697-884)
+over a flat ray batch:
+
+  - miss -> sky emissivity vec3(50), dead ray (:700-712)
+  - material fetch: 3 texture lookups at t = block*6 + face with nearest
+    sampling of the 16x16 atlas (:746-748; sampler defaults in
+    interactive_rendering.rs:358)
+  - emissivity = 1000 * emissive_tex * -dot(dir, normal) (:754)
+  - one RNG draw picks mirror / transmissive / lambertian (:757-773)
+  - lambertian: reflectivity/pi, stochastic light-BVH NEE with MIS weight
+    clamp(importance/10, 0, 0.5) (:775-872)
+
+The hit tangent frame is constant per (face, triangle) for voxel faces —
+see ops/dda.py table derivation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vrv_tpu.ops import dda, nee, rng
+from vrv_tpu.ops.intersect import (
+    aligned_cosine_sample,
+    ray_triangle_intersect,
+    reflect,
+    split_into_visible_triangles,
+    visible_triangle_area,
+    visible_triangle_sample,
+    _dot,
+)
+
+_PI = float(np.pi)
+
+
+class BounceResult(NamedTuple):
+    emissivity: jax.Array     # (n, 3)
+    reflectivity: jax.Array   # (n, 3) — already includes scatter_pdf/ray_pdf
+    miss: jax.Array           # (n,) bool
+    new_origin: jax.Array     # (n, 3)
+    new_direction: jax.Array  # (n, 3)
+
+
+def _fetch_atlas(atlas: jax.Array, t: jax.Array, u: jax.Array, v: jax.Array):
+    """Nearest-neighbour fetch from (T, 16, 16, C): texel (floor(v*16), floor(u*16))."""
+    size = atlas.shape[1]
+    tx = jnp.clip((u * size).astype(jnp.int32), 0, size - 1)
+    ty = jnp.clip((v * size).astype(jnp.int32), 0, size - 1)
+    flat = atlas.reshape(-1, atlas.shape[-1])
+    idx = (t * size + ty) * size + tx
+    return jnp.take(flat, idx, axis=0)
+
+
+def do_bounce(
+    origin: jax.Array,
+    direction: jax.Array,
+    tr: dda.TraceResult,
+    seed: jax.Array,
+    materials: dict,
+    bvh: Optional[dict],
+    *,
+    sky_emission: float = 50.0,
+    emission_gain: float = 1000.0,
+    nee_importance_scale: float = 10.0,
+    nee_mis_clamp: float = 0.5,
+    bvh_max_depth: int = 0,
+) -> BounceResult:
+    """One path-tracing bounce for a flat ray batch.
+
+    materials: dict with 'reflectivity' (T,16,16,4), 'emissivity' (T,16,16,3),
+    'metallicity' (T,16,16,1) float32 linear atlases.
+    bvh: device LightBvh dict or None for no lights (traversal draws still
+    never happen in the reference when the tree is a dummy node, :513-522,
+    and every draw below is keyed by (seed, slot) so draw alignment is
+    unaffected).
+    """
+    n = origin.shape[0]
+    f32 = jnp.float32
+
+    hit = tr.hit
+    hit_p = origin + tr.t[:, None] * direction
+
+    face = tr.face
+    frac = hit_p - tr.cell.astype(f32)
+
+    # uv from per-face affine tables (chunk.rs:211-275 vertex uv tables)
+    cu = jnp.asarray(dda.FACE_U_AFFINE)[face]
+    cv = jnp.asarray(dda.FACE_V_AFFINE)[face]
+    u = cu[:, 0] + (cu[:, 1:] * frac).sum(-1)
+    v = cv[:, 0] + (cv[:, 1:] * frac).sum(-1)
+
+    # tangent frame: triangle picked by the quad diagonal in in-plane coords
+    plane_axes = jnp.asarray(dda.FACE_PLANE_AXES)[face]
+    fa = jnp.take_along_axis(frac, plane_axes[:, 0:1], axis=-1)[:, 0]
+    fb = jnp.take_along_axis(frac, plane_axes[:, 1:2], axis=-1)[:, 0]
+    tri_id = (fa + fb > 1.0).astype(jnp.int32)
+    normal = jnp.asarray(dda.FACE_NORMALS)[face]
+    tangent = jnp.asarray(dda.FACE_TANGENTS)[face, tri_id]
+    bitangent = jnp.asarray(dda.FACE_BITANGENTS)[face, tri_id]
+
+    t_mat = tr.block.astype(jnp.int32) * 6 + face
+    tex0 = _fetch_atlas(materials["reflectivity"], t_mat, u, v)
+    tex1 = _fetch_atlas(materials["emissivity"], t_mat, u, v)
+    tex2 = _fetch_atlas(materials["metallicity"], t_mat, u, v)
+
+    reflectivity = tex0[:, :3]
+    alpha = tex0[:, 3]
+    emissivity = emission_gain * tex1 * (-_dot(direction, normal))[:, None]
+    metallicity = tex2[:, 0]
+
+    new_origin = hit_p
+
+    # --- scatter-kind branch (one draw, :758) ---
+    scatter_rand = rng.draw(seed, 0)
+    is_mirror = scatter_rand < metallicity
+    is_transmissive = (~is_mirror) & (scatter_rand < metallicity + (1.0 - alpha))
+    is_lambert = ~(is_mirror | is_transmissive)
+
+    dir_mirror = reflect(direction, normal)
+    dir_transmit = direction
+
+    # --- lambertian with NEE + MIS (:775-872) ---
+    refl_lambert = reflectivity / _PI
+
+    dir_hemi = aligned_cosine_sample(
+        rng.draw(seed, 4), rng.draw(seed, 5), normal, tangent, bitangent
+    )
+
+    if bvh is not None:
+        res = nee.traverse(
+            new_origin, normal, rng.murmur3_combine(seed, 2), bvh, bvh_max_depth
+        )
+        w = jnp.where(
+            res.success & (res.importance > 0.0),
+            jnp.clip(res.importance / nee_importance_scale, 0.0, nee_mis_clamp),
+            0.0,
+        )
+        tri_light = jnp.take(bvh["tri"], res.leaf_idx, axis=0)
+        vt = split_into_visible_triangles(new_origin, normal, tri_light)
+
+        mis_rand = rng.draw(seed, 3)
+        pick_light = mis_rand < w
+
+        light_point = visible_triangle_sample(
+            rng.draw(seed, 4), rng.draw(seed, 5), rng.draw(seed, 6), vt
+        )
+        to_light = light_point - new_origin
+        safe_len = jnp.maximum(jnp.sqrt(_dot(to_light, to_light)), 1e-30)
+        dir_light = to_light / safe_len[:, None]
+
+        new_dir_l = jnp.where(pick_light[:, None], dir_light, dir_hemi)
+        cos_theta = _dot(new_dir_l, normal)
+        scatter_pdf = cos_theta / _PI
+
+        hit_l, t_l = ray_triangle_intersect(
+            new_origin, new_dir_l,
+            tri_light[:, 0], tri_light[:, 1], tri_light[:, 2],
+        )
+        light_area = visible_triangle_area(vt)
+        light_distance = t_l  # unit direction: |t * d| = t
+        ray_pdf_light = jnp.where(
+            (w > 0.0) & hit_l,
+            light_distance * light_distance / (cos_theta * light_area),
+            0.0,
+        )
+        ray_pdf_hemisphere = cos_theta / _PI
+        ray_pdf = w * ray_pdf_light + (1.0 - w) * ray_pdf_hemisphere
+        spdf_over_rpdf = scatter_pdf / ray_pdf
+    else:
+        new_dir_l = dir_hemi
+        cos_theta = _dot(new_dir_l, normal)
+        # literal reference arithmetic: (cos/pi) / (cos/pi)
+        spdf_over_rpdf = (cos_theta / _PI) / (cos_theta / _PI)
+
+    # --- combine branches ---
+    new_direction = jnp.where(
+        is_mirror[:, None],
+        dir_mirror,
+        jnp.where(is_transmissive[:, None], dir_transmit, new_dir_l),
+    )
+    refl_out = jnp.where(
+        is_mirror[:, None],
+        reflectivity,
+        jnp.where(
+            is_transmissive[:, None],
+            jnp.ones_like(reflectivity),
+            refl_lambert * spdf_over_rpdf[:, None],
+        ),
+    )
+
+    # --- miss: sky (:700-712) ---
+    sky = jnp.full((n, 3), f32(sky_emission))
+    emissivity = jnp.where(hit[:, None], emissivity, sky)
+    refl_out = jnp.where(hit[:, None], refl_out, 0.0)
+    new_origin = jnp.where(hit[:, None], new_origin, 0.0)
+    new_direction = jnp.where(hit[:, None], new_direction, 0.0)
+
+    return BounceResult(
+        emissivity=emissivity,
+        reflectivity=refl_out,
+        miss=~hit,
+        new_origin=new_origin,
+        new_direction=new_direction,
+    )

@@ -1,0 +1,106 @@
+"""Fused frame renderer ("megakernel" mode).
+
+The XLA analog of the reference's single dispatch over the whole screen
+(reference src/render_system/pathtrace_shader.rs:893-950 +
+interactive_rendering.rs:506): raygen, a statically unrolled bounce loop
+of trace+shade over the full ray set, radiance accumulation, and BGRA u8
+packing. No ray compaction — the parity-first formulation; see
+render/wavefront.py for the compaction/perf mode.
+
+Radiance accumulation is the forward-throughput equivalent of the
+reference's back-to-front unroll `color = E_i + color * R_i` (:939-943):
+color = sum_i E_i * prod_{j<i} R_j, with contributions masked to bounces
+the reference would actually have executed (the loop breaks after a miss,
+:929-932).
+
+Output packing reproduces quirk Q3: bytes are the *linear* radiance
+hard-clipped to [0,255] in BGRA order (:949); the Vulkan swapchain then
+interprets them as sRGB — comparisons against reference framebuffer bytes
+need no transfer function.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vrv_tpu.config import RenderConfig
+from vrv_tpu.ops import dda, rng, shade
+from vrv_tpu.ops.camera_rays import raygen
+
+
+def render_samples(
+    grid: jax.Array,
+    translucent: jax.Array,
+    materials: dict,
+    bvh: Optional[dict],
+    bvh_max_depth: int,
+    eye: jax.Array,
+    front: jax.Array,
+    right: jax.Array,
+    up: jax.Array,
+    frame,
+    cfg: RenderConfig,
+) -> jax.Array:
+    """Render linear radiance per sample: (spp, H, W, 3) float32.
+
+    `eye` is in grid-local coordinates (world - grid origin); callers use
+    render/scene.py which handles the shift.
+    """
+    W, H, S = cfg.width, cfg.height, cfg.samples_per_pixel
+    o, d, sample_seed = raygen(
+        eye, front, right, up, W, H, S, frame, jitter_scale=cfg.jitter_scale
+    )
+    n = S * H * W
+    o = o.reshape(n, 3)
+    d = d.reshape(n, 3)
+    seeds = sample_seed.reshape(n)
+
+    color = jnp.zeros((n, 3), jnp.float32)
+    throughput = jnp.ones((n, 3), jnp.float32)
+    alive = jnp.ones((n,), bool)
+
+    for bounce in range(cfg.max_bounces):
+        tr = dda.trace(grid, translucent, o, d, t_min=cfg.t_min, t_max=cfg.t_max)
+        bounce_seed = rng.murmur3_combine(seeds, jnp.uint32(bounce))
+        br = shade.do_bounce(
+            o, d, tr, bounce_seed, materials, bvh,
+            sky_emission=cfg.sky_emission,
+            emission_gain=cfg.emission_gain,
+            nee_importance_scale=cfg.nee_importance_scale,
+            nee_mis_clamp=cfg.nee_mis_clamp,
+            bvh_max_depth=bvh_max_depth,
+        ) if (bvh is not None and cfg.enable_nee) else shade.do_bounce(
+            o, d, tr, bounce_seed, materials, None,
+            sky_emission=cfg.sky_emission,
+            emission_gain=cfg.emission_gain,
+        )
+        color = color + jnp.where(alive[:, None], throughput * br.emissivity, 0.0)
+        throughput = jnp.where(alive[:, None], throughput * br.reflectivity, 0.0)
+        alive = alive & ~br.miss
+        o, d = br.new_origin, br.new_direction
+
+    return color.reshape(S, H, W, 3)
+
+
+def pack_bgra(pixel_color: jax.Array) -> jax.Array:
+    """(H, W, 3) linear rgb -> (H, W, 4) u8 BGRA, hard clip (quirk Q3)."""
+    c = jnp.nan_to_num(pixel_color, nan=0.0, posinf=255.0, neginf=0.0)
+    bgr = jnp.clip(c[..., ::-1] * 255.0, 0.0, 255.0).astype(jnp.uint8)
+    a = jnp.full(bgr.shape[:-1] + (1,), 255, jnp.uint8)
+    return jnp.concatenate([bgr, a], axis=-1)
+
+
+def render_frame(
+    grid, translucent, materials, bvh, bvh_max_depth,
+    eye, front, right, up, frame, cfg: RenderConfig,
+) -> jax.Array:
+    """Full frame: average samples, pack BGRA u8 (H, W, 4)."""
+    samples = render_samples(
+        grid, translucent, materials, bvh, bvh_max_depth,
+        eye, front, right, up, frame, cfg,
+    )
+    return pack_bgra(samples.mean(axis=0))

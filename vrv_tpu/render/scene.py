@@ -1,0 +1,192 @@
+"""Scene: device-resident world state + functional updates.
+
+The TPU-native replacement for the reference's Scene/TLAS lifecycle
+(reference src/render_system/scene.rs): where the reference re-meshes a
+chunk, re-uploads vertex buffers, rebuilds BLAS records and marks the TLAS
+dirty on every edit (scene.rs:129-386, chunk_manager.rs:331-392), here the
+scene *is* a handful of arrays:
+
+  - grid          (X,Y,Z) uint8 block ids in HBM
+  - translucent   (n_blocks+1,) bool LUT
+  - materials     three small float32 atlases (VMEM-resident at run time)
+  - light BVH     SoA arrays (render/lightbvh.py), rebuilt host-side only
+                  when an edit touches an emissive block or its neighbours
+                  (the reference rebuilds its light BVH on any TLAS dirty,
+                  scene.rs:287-308 — we're strictly lazier)
+
+`set_block` is a functional update (jnp .at[].set with buffer donation):
+the copy-then-swap the reference does on the host (chunk_manager.rs:337-340)
+becomes an in-place HBM write under jit.
+
+Light-BVH arrays are padded to power-of-two node capacities so edits that
+change the light count hit a small number of jit specializations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vrv_tpu.assets import BlockTable, load_block_table
+from vrv_tpu.config import RenderConfig, WorldConfig
+from vrv_tpu.game import chunk as chunklib
+from vrv_tpu.render import lightbvh as lb
+from vrv_tpu.render import megakernel
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_cell(grid, cell, value):
+    return grid.at[cell[0], cell[1], cell[2]].set(value)
+
+
+def device_bvh(bvh: lb.LightBvh) -> Optional[dict]:
+    if not bvh.has_lights:
+        return None
+    return {
+        "is_leaf": jnp.asarray(bvh.is_leaf),
+        "left": jnp.asarray(bvh.left),
+        "right": jnp.asarray(bvh.right),
+        "aabb_min": jnp.asarray(bvh.aabb_min),
+        "aabb_max": jnp.asarray(bvh.aabb_max),
+        "lum6": jnp.asarray(bvh.lum6),
+        "tri": jnp.asarray(bvh.tri),
+        "lpa": jnp.asarray(bvh.lpa),
+    }
+
+
+class Scene:
+    """Mutable host handle around immutable device arrays."""
+
+    def __init__(
+        self,
+        world_cfg: WorldConfig,
+        table: Optional[BlockTable] = None,
+        grid: Optional[np.ndarray] = None,
+    ):
+        self.world_cfg = world_cfg
+        self.table = table or load_block_table()
+        if grid is None:
+            grid = chunklib.generate_dense_grid(world_cfg, self.table)
+        self.grid = jnp.asarray(grid, jnp.uint8)
+        self.origin = np.asarray(world_cfg.origin, np.float32)
+        self.translucent = jnp.asarray(self.table.translucent)
+        self.materials = {
+            "reflectivity": jnp.asarray(self.table.reflectivity),
+            "emissivity": jnp.asarray(self.table.emissivity),
+            "metallicity": jnp.asarray(self.table.metallicity),
+        }
+        self._emissive_blocks = np.nonzero(
+            (self.table.texture_luminances.reshape(self.table.n_blocks, 6) > 0).any(1)
+        )[0]
+        self._rebuild_lights()
+        self.tlas_rebuilds = 0  # observability: analog of TLAS dirty rebuilds
+
+    # ------------------------------------------------------------------
+    # light structure
+    # ------------------------------------------------------------------
+
+    def _rebuild_lights(self):
+        grid_np = np.asarray(self.grid)
+        self.light_bvh = lb.build_from_grid(grid_np, self.table)
+        self.bvh_device = device_bvh(self.light_bvh)
+        self.bvh_max_depth = self.light_bvh.max_depth
+
+    def _edit_touches_lights(self, cell: np.ndarray, old: int, new: int) -> bool:
+        if old in self._emissive_blocks or new in self._emissive_blocks:
+            return True
+        # neighbouring an emissive block changes its face set
+        grid_np = np.asarray(self.grid)
+        size = np.asarray(grid_np.shape)
+        for off in chunklib.FACE_NEIGHBOR:
+            nb = cell + off
+            if ((nb >= 0) & (nb < size)).all() and grid_np[tuple(nb)] in self._emissive_blocks:
+                return True
+        return False
+
+    # ------------------------------------------------------------------
+    # world edits (block.rs semantics; ids include air)
+    # ------------------------------------------------------------------
+
+    def get_block(self, global_coords) -> Optional[int]:
+        cell = np.asarray(global_coords) - self.origin.astype(np.int64)
+        size = np.asarray(self.grid.shape)
+        if ((cell < 0) | (cell >= size)).any():
+            return None
+        return int(np.asarray(self.grid[tuple(cell)]))
+
+    def set_block(self, global_coords, block_id: int) -> bool:
+        """Functional grid edit; returns False if outside the world."""
+        cell = np.asarray(global_coords, np.int64) - self.origin.astype(np.int64)
+        size = np.asarray(self.grid.shape)
+        if ((cell < 0) | (cell >= size)).any():
+            return False
+        old = int(np.asarray(self.grid[tuple(cell)]))
+        touches = self._edit_touches_lights(cell, old, block_id)
+        self.grid = _set_cell(self.grid, jnp.asarray(cell, jnp.int32), jnp.uint8(block_id))
+        self.tlas_rebuilds += 1
+        if touches:
+            self._rebuild_lights()
+        return True
+
+    # ------------------------------------------------------------------
+    # rendering
+    # ------------------------------------------------------------------
+
+    def camera_to_local(self, eye) -> jnp.ndarray:
+        return jnp.asarray(np.asarray(eye, np.float32) - self.origin)
+
+    def render(self, eye, front, right, up, frame: int, cfg: RenderConfig) -> jax.Array:
+        """One frame -> (H, W, 4) u8 BGRA on device."""
+        fn = _jit_render(cfg, self.bvh_max_depth, self.bvh_device is not None)
+        return fn(
+            self.grid,
+            self.translucent,
+            self.materials,
+            self.bvh_device,
+            self.camera_to_local(eye),
+            jnp.asarray(front, jnp.float32),
+            jnp.asarray(right, jnp.float32),
+            jnp.asarray(up, jnp.float32),
+            jnp.uint32(frame),
+        )
+
+    def render_samples(self, eye, front, right, up, frame: int, cfg: RenderConfig) -> jax.Array:
+        fn = _jit_render_samples(cfg, self.bvh_max_depth, self.bvh_device is not None)
+        return fn(
+            self.grid,
+            self.translucent,
+            self.materials,
+            self.bvh_device,
+            self.camera_to_local(eye),
+            jnp.asarray(front, jnp.float32),
+            jnp.asarray(right, jnp.float32),
+            jnp.asarray(up, jnp.float32),
+            jnp.uint32(frame),
+        )
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_render(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool):
+    def fn(grid, translucent, materials, bvh, eye, front, right, up, frame):
+        return megakernel.render_frame(
+            grid, translucent, materials, bvh if has_lights else None,
+            bvh_max_depth, eye, front, right, up, frame, cfg,
+        )
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_render_samples(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool):
+    def fn(grid, translucent, materials, bvh, eye, front, right, up, frame):
+        return megakernel.render_samples(
+            grid, translucent, materials, bvh if has_lights else None,
+            bvh_max_depth, eye, front, right, up, frame, cfg,
+        )
+
+    return jax.jit(fn)
