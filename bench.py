@@ -1,0 +1,72 @@
+"""Benchmark harness.
+
+Measures the README headline config on the real device: 800x600, 8 spp,
+4 bounces, 128^3 worldgen grid (reference README.md:5-6 reports 28 fps on
+its unspecified GPU — BASELINE.md). Prints ONE JSON line.
+
+Extra diagnostics (rays/sec, per-config timings) go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from vrv_tpu.config import RenderConfig, WorldConfig
+    from vrv_tpu.render.scene import Scene
+
+    BASELINE_FPS = 28.0  # reference README.md:5-6
+
+    g = 128
+    wc = WorldConfig(size=(g, g, g), origin=(-g // 2, -g // 2, -g // 2), seed=0)
+    cfg = RenderConfig(width=800, height=600, samples_per_pixel=8, max_bounces=4)
+    scene = Scene(wc)
+
+    # camera hovering above the terrain looking down at an angle
+    grid_np = np.asarray(scene.grid)
+    solid = scene.table.solid[grid_np]
+    ys = np.nonzero(solid[g // 2, :, g // 2])[0]
+    y_surf = (int(ys.max()) if len(ys) else g // 2) + wc.origin[1]
+    eye = np.array([0.0, y_surf + 12.0, -24.0], np.float32)
+    front = np.array([0.0, -0.35, 0.936], np.float32)
+    right = np.array([-1.0, 0.0, 0.0], np.float32)
+    up = np.array([0.0, -0.936, -0.35], np.float32)
+
+    def run(frame):
+        return scene.render(eye, front, right, up, frame, cfg)
+
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    t0 = time.perf_counter()
+    run(0).block_until_ready()
+    print(f"compile+first frame: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    # timed frames (distinct frame ids = realistic reseeding)
+    n = 8
+    t0 = time.perf_counter()
+    imgs = [run(i + 1) for i in range(n)]
+    imgs[-1].block_until_ready()
+    dt = time.perf_counter() - t0
+    fps = n / dt
+    rays = cfg.width * cfg.height * cfg.samples_per_pixel * cfg.max_bounces * fps
+    print(
+        f"{fps:.3f} fps  {rays:.3e} paths*bounce/s  frame {dt / n * 1e3:.1f} ms",
+        file=sys.stderr,
+    )
+
+    print(json.dumps({
+        "metric": "frames_per_sec_800x600_8spp_4bounce_128grid",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,79 @@
+"""CLI entry: headless frame rendering / interactive game loop.
+
+The analog of reference src/main.rs: build the world, run the loop, print
+fps. Headless-first (PNG sink); a windowed backend can consume the BGRA
+buffer from GameWorld.last_frame.
+
+Usage:
+  python -m vrv_tpu.app --frames 3 --out frame.png
+  python -m vrv_tpu.app --spp 8 --bounces 4 --grid 128 --frames 30
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from vrv_tpu.config import build_arg_parser, configs_from_args
+from vrv_tpu.game import world as w
+from vrv_tpu.render.scene import Scene
+from vrv_tpu.utils.image import save_png
+from vrv_tpu.utils.profiling import FrameMeter
+from vrv_tpu.utils.geometry import unitcube
+
+
+def build_world(render_cfg, world_cfg) -> w.GameWorld:
+    """main.rs:27-157 analog: scene + ego entity."""
+    scene = Scene(world_cfg)
+    gw = w.GameWorld(
+        scene, render_cfg=render_cfg, extent=(render_cfg.width, render_cfg.height)
+    )
+    gw.add_entity(
+        0,
+        w.EntityCreationData(
+            physics=w.EntityPhysicsData(
+                rigid_body_type=w.KINEMATIC_VELOCITY,
+                hitbox=w.Hitbox(np.array([0.5, 0.5, 0.5])),
+                linvel=np.zeros(3),
+                angvel=np.zeros(3),
+                controlled=True,
+                grounded=False,
+            ),
+            mesh=unitcube(),
+            isometry=w.Isometry(np.array([0.0, 5.0, 0.0])),
+        ),
+    )
+    return gw
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    render_cfg, world_cfg = configs_from_args(args)
+    print(f"world {world_cfg.size} seed={world_cfg.seed}; "
+          f"render {render_cfg.width}x{render_cfg.height} "
+          f"{render_cfg.samples_per_pixel}spp/{render_cfg.max_bounces}b "
+          f"mode={render_cfg.mode}")
+
+    gw = build_world(render_cfg, world_cfg)
+    meter = FrameMeter()
+    rays_per_frame = (
+        render_cfg.width * render_cfg.height
+        * render_cfg.samples_per_pixel * render_cfg.max_bounces
+    )
+
+    img = None
+    for _ in range(args.frames):
+        img = gw.step()
+        img.block_until_ready()
+        meter.frame(rays=rays_per_frame)
+
+    if args.out and img is not None:
+        save_png(args.out, np.asarray(img))
+        print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

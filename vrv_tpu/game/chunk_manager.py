@@ -68,6 +68,13 @@ class ChunkQuerier:
         """
         if exact:
             return self._trace_dda(origin, direction, radius)
+        from vrv_tpu import native
+
+        if native.lib is not None:
+            return native.trace_to_solid(
+                np.asarray(self.scene.grid), self.scene.origin,
+                self.scene.table.solid, origin, direction, radius,
+            )
         step = 0.01
         o = np.asarray(origin, np.float64)
         d = np.asarray(direction, np.float64)

@@ -33,21 +33,35 @@ def raygen(
     spp: int,
     frame,
     jitter_scale: float = 0.01,
+    y0=0,
+    local_height: int = 0,
+    s0=0,
+    local_spp: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (origin (spp,H,W,3), direction (spp,H,W,3), sample_seed (spp,H,W) u32)."""
+    """Returns (origin (spp,H,W,3), direction (spp,H,W,3), sample_seed (spp,H,W) u32).
+
+    width/height/spp are the GLOBAL extents (they fix uv scaling and RNG
+    seeds); y0/s0 + local_height/local_spp select a shard of rows/samples
+    for multi-chip data parallelism (parallel/render_pjit.py). Defaults
+    render the full frame.
+    """
+    local_height = local_height or height
+    local_spp = local_spp or spp
     xs = jnp.arange(width, dtype=jnp.uint32)
-    ys = jnp.arange(height, dtype=jnp.uint32)
+    ys = jnp.arange(local_height, dtype=jnp.uint32) + rng.u32(y0)
     px = xs[None, :]
     py = ys[:, None]
 
     pixel_seed = rng.murmur3_combine(px, py)                       # (H, W)
     pixel_seed = rng.murmur3_combine(pixel_seed, rng.u32(frame))
-    sample_ids = jnp.arange(spp, dtype=jnp.uint32)[:, None, None]
+    sample_ids = (
+        jnp.arange(local_spp, dtype=jnp.uint32)[:, None, None] + rng.u32(s0)
+    )
     sample_seed = rng.murmur3_combine(pixel_seed[None], sample_ids)  # (spp, H, W)
 
     uv_x = 2.0 * px.astype(jnp.float32) / width - 1.0
     uv_y = 2.0 * py.astype(jnp.float32) / height - 1.0
-    aspect = jnp.float32(width / height)
+    aspect = jnp.float32(width) / jnp.float32(height)
 
     jx = jitter_scale * (1.0 / width) * (rng.draw(sample_seed, 0) - 0.5)
     jy = jitter_scale * (1.0 / height) * (rng.draw(sample_seed, 1) - 0.5)

@@ -1,0 +1,85 @@
+"""Sharded frame rendering over a ('samples', 'rows') mesh.
+
+Each device renders its row-band of the image with its slice of the
+sample axis; per-pixel radiance is merged with a `psum` over the
+'samples' axis and the byte image stays row-sharded until the host reads
+it. The single-device render (render/megakernel.py) is the body — the
+same code runs per shard, which is what makes the single-chip and
+multi-chip paths numerically identical (validated in
+tests/test_parallel.py on a virtual 8-device CPU mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from vrv_tpu.config import RenderConfig
+from vrv_tpu.render import megakernel
+
+
+def render_frame_sharded(
+    mesh: Mesh,
+    grid: jax.Array,
+    translucent: jax.Array,
+    materials: dict,
+    bvh: Optional[dict],
+    bvh_max_depth: int,
+    eye: jax.Array,
+    front: jax.Array,
+    right: jax.Array,
+    up: jax.Array,
+    frame,
+    cfg: RenderConfig,
+) -> jax.Array:
+    """(H, W, 4) u8 frame computed across the mesh."""
+    n_samples_shards = mesh.shape["samples"]
+    n_row_shards = mesh.shape["rows"]
+    assert cfg.samples_per_pixel % n_samples_shards == 0, "spp must split over mesh"
+    assert cfg.height % n_row_shards == 0, "height must split over mesh"
+    local_spp = cfg.samples_per_pixel // n_samples_shards
+    local_h = cfg.height // n_row_shards
+
+    replicated = P()
+
+    def shard_body(grid, translucent, materials, bvh, eye, front, right, up, frame):
+        s_idx = jax.lax.axis_index("samples")
+        r_idx = jax.lax.axis_index("rows")
+        samples = megakernel.render_samples(
+            grid, translucent, materials, bvh, bvh_max_depth,
+            eye, front, right, up, frame, cfg,
+            y0=r_idx * local_h, local_height=local_h,
+            s0=s_idx * local_spp, local_spp=local_spp,
+        )  # (local_spp, local_h, W, 3)
+        partial_sum = samples.sum(axis=0)
+        total = jax.lax.psum(partial_sum, axis_name="samples")
+        pixel = total / cfg.samples_per_pixel
+        return megakernel.pack_bgra(pixel)[None]  # (1, local_h, W, 4)
+
+    fn = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(replicated,) * 9,
+        out_specs=P("samples", "rows", None, None),
+        check_rep=False,
+    )
+    out = fn(grid, translucent, materials, bvh, eye, front, right, up, frame)
+    # every samples-shard holds the same merged rows; take shard 0
+    return out[0]
+
+
+@functools.lru_cache(maxsize=16)
+def jit_render_sharded(mesh: Mesh, cfg: RenderConfig, bvh_max_depth: int, has_lights: bool):
+    def fn(grid, translucent, materials, bvh, eye, front, right, up, frame):
+        return render_frame_sharded(
+            mesh, grid, translucent, materials,
+            bvh if has_lights else None, bvh_max_depth,
+            eye, front, right, up, frame, cfg,
+        )
+
+    return jax.jit(fn)

@@ -66,35 +66,43 @@ def emissive_triangles(
     translucent neighbors (chunk.rs:212). Returns (tris (n,3,3) f32 in grid
     coords, lpa (n,) f32).
     """
+    from vrv_tpu import native
+
     lum = table.texture_luminances  # (n_blocks*6,)
     translucent = table.translucent
     air = table.air
 
-    emissive_block = (lum.reshape(table.n_blocks, 6) > 0).any(1)
-    cells = np.argwhere(np.isin(grid, np.nonzero(emissive_block)[0]))
-    tris: List[np.ndarray] = []
-    lpas: List[float] = []
-    size = np.array(grid.shape)
-    for cell in cells:
-        b = int(grid[tuple(cell)])
-        for face in range(6):
-            t = b * 6 + face
-            if lum[t] <= 0:
-                continue
-            nb = cell + FACE_NEIGHBOR[face]
-            if ((nb >= 0) & (nb < size)).all():
-                nb_block = int(grid[tuple(nb)])
-            else:
-                nb_block = air
-            if not translucent[nb_block]:
-                continue
-            verts = cell[None, :].astype(np.float32) + FACE_POSITIONS[face]  # (6,3)
-            tris.append(verts[:3])
-            tris.append(verts[3:])
-            lpas.extend([float(lum[t])] * 2)
-    if not tris:
+    if native.lib is not None:
+        recs = native.emissive_faces(grid, translucent, lum)  # (n, 4) x,y,z,face
+    else:
+        emissive_block = (lum.reshape(table.n_blocks, 6) > 0).any(1)
+        cells = np.argwhere(np.isin(grid, np.nonzero(emissive_block)[0]))
+        out: List[List[int]] = []
+        size = np.array(grid.shape)
+        for cell in cells:
+            b = int(grid[tuple(cell)])
+            for face in range(6):
+                if lum[b * 6 + face] <= 0:
+                    continue
+                nb = cell + FACE_NEIGHBOR[face]
+                if ((nb >= 0) & (nb < size)).all():
+                    nb_block = int(grid[tuple(nb)])
+                else:
+                    nb_block = air
+                if not translucent[nb_block]:
+                    continue
+                out.append([cell[0], cell[1], cell[2], face])
+        recs = np.asarray(out, np.int32).reshape(-1, 4)
+
+    if len(recs) == 0:
         return np.zeros((0, 3, 3), np.float32), np.zeros((0,), np.float32)
-    return np.stack(tris).astype(np.float32), np.asarray(lpas, np.float32)
+    cells_f = recs[:, :3].astype(np.float32)
+    faces = recs[:, 3]
+    blocks = grid[recs[:, 0], recs[:, 1], recs[:, 2]].astype(np.int64)
+    verts = cells_f[:, None, :] + FACE_POSITIONS[faces]         # (n, 6, 3)
+    tris = verts.reshape(-1, 2, 3, 3).reshape(-1, 3, 3)          # 2 tris per face
+    lpas = np.repeat(lum[blocks * 6 + faces], 2).astype(np.float32)
+    return np.ascontiguousarray(tris, np.float32), lpas
 
 
 def _sah_split(

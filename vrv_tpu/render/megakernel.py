@@ -44,15 +44,24 @@ def render_samples(
     up: jax.Array,
     frame,
     cfg: RenderConfig,
+    y0=0,
+    local_height: int = 0,
+    s0=0,
+    local_spp: int = 0,
 ) -> jax.Array:
     """Render linear radiance per sample: (spp, H, W, 3) float32.
 
     `eye` is in grid-local coordinates (world - grid origin); callers use
-    render/scene.py which handles the shift.
+    render/scene.py which handles the shift. y0/s0 + local extents select
+    a row/sample shard (see ops/camera_rays.raygen).
     """
-    W, H, S = cfg.width, cfg.height, cfg.samples_per_pixel
+    W = cfg.width
+    H = local_height or cfg.height
+    S = local_spp or cfg.samples_per_pixel
     o, d, sample_seed = raygen(
-        eye, front, right, up, W, H, S, frame, jitter_scale=cfg.jitter_scale
+        eye, front, right, up, cfg.width, cfg.height, cfg.samples_per_pixel,
+        frame, jitter_scale=cfg.jitter_scale,
+        y0=y0, local_height=local_height, s0=s0, local_spp=local_spp,
     )
     n = S * H * W
     o = o.reshape(n, 3)
