@@ -15,8 +15,16 @@ import numpy as np
 
 
 def main() -> int:
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp")
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
     from vrv_tpu.config import RenderConfig, WorldConfig
     from vrv_tpu.render.scene import Scene

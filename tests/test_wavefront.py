@@ -1,0 +1,32 @@
+"""Wavefront mode: byte-identical to megakernel mode for the same seeds."""
+
+import numpy as np
+import pytest
+
+from vrv_tpu.config import RenderConfig, WorldConfig
+from vrv_tpu.render.scene import Scene
+
+
+def test_wavefront_matches_megakernel(block_table):
+    wc = WorldConfig(size=(16, 16, 16), origin=(0, 0, 0), seed=0)
+    grid = np.full(wc.size, block_table.air, dtype=np.uint8)
+    grid[:, :3, :] = block_table.block_idx("stone")
+    grid[8, 3, 8] = block_table.block_idx("lamp")
+    grid[4, 3, 4] = block_table.block_idx("mirror")
+    grid[12, 3, 12] = block_table.block_idx("glass")
+    sc = Scene(wc, table=block_table, grid=grid)
+
+    eye = np.array([8.0, 9.0, 8.0], np.float32)
+    front = np.array([0.0, -1.0, 0.0], np.float32)
+    right = np.array([1.0, 0.0, 0.0], np.float32)
+    up = np.array([0.0, 0.0, 1.0], np.float32)
+
+    mega = RenderConfig(width=16, height=8, samples_per_pixel=2, max_bounces=3)
+    wave = mega.replace(mode="wavefront")
+    img_m = np.asarray(sc.render(eye, front, right, up, 7, mega))
+    img_w = np.asarray(sc.render(eye, front, right, up, 7, wave))
+    # identical RNG and identical accumulation; scatter-add order may skew
+    # float sums by an ulp -> allow 1 byte
+    diff = np.abs(img_m.astype(int) - img_w.astype(int))
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.98

@@ -28,6 +28,7 @@ class SceneManager(Manager):
         self.instances: Dict[int, dict] = {}
 
     def update(self, data: UpdateData) -> List[object]:
+        dirty = False
         for ch in data.world_changes:
             if isinstance(ch, GlobalEntityAdd):
                 if ch.data.mesh is not None:
@@ -35,9 +36,29 @@ class SceneManager(Manager):
                         "mesh": ch.data.mesh,
                         "isometry": ch.data.isometry.copy(),
                     }
+                    dirty = True
             elif isinstance(ch, GlobalEntityRemove):
-                self.instances.pop(ch.id, None)
+                if self.instances.pop(ch.id, None) is not None:
+                    dirty = True
             elif isinstance(ch, GlobalEntityUpdateIsometry):
                 if ch.id in self.instances:
                     self.instances[ch.id]["isometry"] = ch.isometry.copy()
+                    dirty = True
+        if dirty:
+            self._upload()
         return []
+
+    def _upload(self) -> None:
+        """Rebuild the renderer's instance triangle set (grid-local coords)."""
+        from vrv_tpu.ops.instances import transform_mesh
+        from vrv_tpu.game.world import Isometry
+
+        meshes = []
+        for rec in self.instances.values():
+            iso = rec["isometry"]
+            local = Isometry(
+                iso.translation - self.scene.origin.astype(np.float64),
+                iso.rotation,
+            )
+            meshes.append(transform_mesh(rec["mesh"], local))
+        self.scene.set_instances(meshes)

@@ -273,6 +273,198 @@ def trace(
     )
 
 
+def build_distance_field(grid: jax.Array, air_id: int, cap: int = 15) -> jax.Array:
+    """Chebyshev distance-to-nearest-renderable-cell, capped (uint8).
+
+    The empty-space-skipping structure: if dist[c] = v >= 1, every cell
+    within chebyshev radius v-1 of c is air, so a ray at c can advance to
+    the boundary of that box without face tests ("proximity clouds").
+    Rebuilt functionally (a few min-pool sweeps) — the TPU analog of the
+    reference's acceleration-structure rebuild, ~1 ms instead of a
+    BLAS/TLAS pipeline.
+    """
+    renders = grid != jnp.uint8(air_id)
+    dist = jnp.where(renders, 0, cap).astype(jnp.uint8)
+    for _ in range(cap):
+        neighbour_min = -jax.lax.reduce_window(
+            -dist.astype(jnp.int32),
+            -cap,
+            jax.lax.max,
+            window_dimensions=(3, 3, 3),
+            window_strides=(1, 1, 1),
+            padding="SAME",
+        )
+        dist = jnp.minimum(dist, (neighbour_min + 1).astype(jnp.uint8))
+    return dist
+
+
+def trace_skip(
+    grid: jax.Array,
+    dist: jax.Array,
+    translucent: jax.Array,
+    origin: jax.Array,
+    direction: jax.Array,
+    t_min: float = 0.001,
+    t_max: float = 1000.0,
+) -> TraceResult:
+    """`trace` with distance-field empty-space skipping. Same results.
+
+    Cells with dist >= 3 advance the ray to the boundary of the radius
+    (dist-2) safety box in one step (the -2 margin keeps the landing cell
+    strictly inside the known-empty region, so a 1e-4 nudge cannot skip a
+    renderable cell); cells with dist <= 2 take exact single-cell DDA
+    steps with the full face logic.
+    """
+    shape = origin.shape[:-1]
+    o = origin.reshape(-1, 3).astype(jnp.float32)
+    d = direction.reshape(-1, 3).astype(jnp.float32)
+    n = o.shape[0]
+    size = jnp.asarray(grid.shape, jnp.float32)
+    size_i = jnp.asarray(grid.shape, jnp.int32)
+    air = jnp.int32(translucent.shape[0] - 1)
+    strides = jnp.asarray([grid.shape[1] * grid.shape[2], grid.shape[2], 1], jnp.int32)
+    # one fused gather per step: block id in the high byte, skip distance low
+    flat_comb = (
+        (grid.reshape(-1).astype(jnp.int32) << 8) | dist.reshape(-1).astype(jnp.int32)
+    )
+    # out-of-grid = air with max skip distance
+    outside_comb = (air << 8) | jnp.int32(255)
+
+    def flat_of(cell):
+        c = jnp.clip(cell, 0, size_i - 1)
+        return (c * strides).sum(-1)
+
+    def cell_comb(cell, inside):
+        b = jnp.take(flat_comb, flat_of(cell), axis=0)
+        return jnp.where(inside, b, outside_comb)
+
+    d_safe = jnp.where(jnp.abs(d) < 1e-12, jnp.float32(1e-12), d)
+    inv_d = 1.0 / d_safe
+
+    t_lo = (0.0 - o) * inv_d
+    t_hi = (size - o) * inv_d
+    t_near = jnp.minimum(t_lo, t_hi)
+    t_far = jnp.maximum(t_lo, t_hi)
+    t_enter = t_near.max(-1)
+    t_exit = t_far.min(-1)
+    enter_axis = jnp.argmax(t_near, axis=-1)
+
+    t0 = jnp.maximum(t_enter, jnp.float32(t_min))
+    valid = (t0 <= t_exit) & (t0 <= t_max)
+
+    p0 = o + t0[:, None] * d
+    cell = jnp.clip(jnp.floor(p0).astype(jnp.int32), 0, size_i - 1)
+    cur_comb = cell_comb(cell, valid)
+    cur_block = (cur_comb >> 8).astype(jnp.uint8)
+
+    starts_outside = t_enter > t_min
+    entry_renders = cur_block != air.astype(jnp.uint8)
+    entry_face = enter_axis * 2 + jnp.where(
+        jnp.take_along_axis(d, enter_axis[:, None], axis=-1)[:, 0] > 0, 0, 1
+    )
+    hit0 = valid & starts_outside & entry_renders & (t_enter >= t_min) & (t_enter <= t_max)
+
+    state = dict(
+        alive=valid & ~hit0,
+        cell=cell,
+        cur_comb=cur_comb,
+        hit=hit0,
+        t=jnp.where(hit0, t_enter, jnp.float32(0.0)),
+        block=jnp.where(hit0, cur_block, air.astype(jnp.uint8)),
+        face=jnp.where(hit0, entry_face.astype(jnp.int32), 0),
+        hit_cell=jnp.where(hit0[:, None], cell, 0),
+        entering=hit0,
+        steps=jnp.int32(0),
+    )
+
+    max_steps = int(grid.shape[0] + grid.shape[1] + grid.shape[2] + 3)
+    translucent_b = translucent.astype(jnp.bool_)
+
+    def cond(s):
+        return (s["steps"] < max_steps) & s["alive"].any()
+
+    def body(s):
+        cell = s["cell"]
+        cur = (s["cur_comb"] >> 8).astype(jnp.uint8)
+        v = s["cur_comb"] & 255
+        can_skip = s["alive"] & (v >= 3)
+        r = (v - 2).astype(jnp.float32)
+
+        # --- skip branch: advance to the radius-(v-2) box boundary ---
+        box_lo = cell.astype(jnp.float32) - r[:, None]
+        box_hi = cell.astype(jnp.float32) + 1.0 + r[:, None]
+        t_box = jnp.where(d > 0, (box_hi - o) * inv_d, (box_lo - o) * inv_d)
+        t_box = jnp.where(jnp.abs(d) < 1e-12, _BIG, t_box)
+        t_skip = t_box.min(-1)
+        p_skip = o + (t_skip[:, None] + 1e-4) * d
+        cell_skip = jnp.floor(p_skip).astype(jnp.int32)
+        skip_inside = ((cell_skip >= 0) & (cell_skip < size_i)).all(-1)
+        skip_out = ~skip_inside | (t_skip > t_max)
+
+        # --- exact branch: one-cell DDA step with face logic ---
+        next_b = cell.astype(jnp.float32) + (d > 0).astype(jnp.float32)
+        t_axes = (next_b - o) * inv_d
+        t_axes = jnp.where(jnp.abs(d) < 1e-12, _BIG, t_axes)
+        axis = jnp.argmin(t_axes, axis=-1)
+        t_next = jnp.take_along_axis(t_axes, axis[:, None], axis=-1)[:, 0]
+        step_sign = jnp.sign(
+            jnp.take_along_axis(d, axis[:, None], axis=-1)[:, 0]
+        ).astype(jnp.int32)
+        step = jnp.zeros_like(cell).at[jnp.arange(n), axis].set(step_sign)
+        new_cell_exact = cell + step
+        inside_exact = ((new_cell_exact >= 0) & (new_cell_exact < size_i)).all(-1)
+
+        new_cell = jnp.where(can_skip[:, None], cell_skip, new_cell_exact)
+        inside = jnp.where(can_skip, skip_inside, inside_exact)
+        new_comb = cell_comb(new_cell, inside)
+        new_block = (new_comb >> 8).astype(jnp.uint8)
+        air_u8 = air.astype(jnp.uint8)
+
+        cur_tl = _lookup_u8(translucent_b, cur)
+        new_tl = _lookup_u8(translucent_b, new_block)
+        entering_hit = (new_block != air_u8) & cur_tl & ~can_skip
+        exiting_hit = (cur != air_u8) & new_tl & ~can_skip
+        in_range = (t_next >= t_min) & (t_next <= t_max)
+        any_hit = s["alive"] & ~can_skip & in_range & (entering_hit | exiting_hit)
+
+        face_pos = axis * 2 + jnp.where(step_sign > 0, 0, 1)
+        face_neg = axis * 2 + jnp.where(step_sign > 0, 1, 0)
+        face = jnp.where(entering_hit, face_pos, face_neg).astype(jnp.int32)
+        hblock = jnp.where(entering_hit, new_block, cur)
+        hcell = jnp.where(entering_hit[:, None], new_cell, cell)
+
+        rec = any_hit & ~s["hit"]
+        dead_exact = ~inside_exact | (t_next > t_max)
+        dead = jnp.where(can_skip, skip_out, dead_exact)
+        alive = s["alive"] & ~any_hit & ~dead
+        return dict(
+            alive=alive,
+            cell=new_cell,
+            cur_comb=new_comb,
+            hit=s["hit"] | any_hit,
+            t=jnp.where(rec, t_next, s["t"]),
+            block=jnp.where(rec, hblock, s["block"]),
+            face=jnp.where(rec, face, s["face"]),
+            hit_cell=jnp.where(rec[:, None], hcell, s["hit_cell"]),
+            entering=jnp.where(rec, entering_hit, s["entering"]),
+            steps=s["steps"] + 1,
+        )
+
+    s = jax.lax.while_loop(cond, body, state)
+
+    def rshape(x, extra=()):
+        return x.reshape(shape + extra)
+
+    return TraceResult(
+        hit=rshape(s["hit"]),
+        t=rshape(s["t"]),
+        block=rshape(s["block"]),
+        face=rshape(s["face"]),
+        cell=rshape(s["hit_cell"], (3,)),
+        entering=rshape(s["entering"]),
+    )
+
+
 def trace_brute_force(
     grid: np.ndarray,
     translucent: np.ndarray,

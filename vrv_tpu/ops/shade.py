@@ -69,6 +69,8 @@ def do_bounce(
     nee_importance_scale: float = 10.0,
     nee_mis_clamp: float = 0.5,
     bvh_max_depth: int = 0,
+    inst: Optional[dict] = None,
+    inst_hit=None,
 ) -> BounceResult:
     """One path-tracing bounce for a flat ray batch.
 
@@ -78,12 +80,23 @@ def do_bounce(
     never happen in the reference when the tree is a dummy node, :513-522,
     and every draw below is keyed by (seed, slot) so draw alignment is
     unaffected).
+    inst/inst_hit: optional dynamic-entity triangle set
+    {'tri','t','uv','valid'} + ops.instances.InstanceHit; the nearer of the
+    voxel and instance hits wins per ray.
     """
     n = origin.shape[0]
     f32 = jnp.float32
 
-    hit = tr.hit
-    hit_p = origin + tr.t[:, None] * direction
+    # --- merge voxel + instance hits (nearest wins) ---
+    if inst_hit is not None:
+        use_inst = inst_hit.hit & (~tr.hit | (inst_hit.t < tr.t))
+        hit = tr.hit | inst_hit.hit
+        t_hit = jnp.where(use_inst, inst_hit.t, tr.t)
+    else:
+        use_inst = jnp.zeros((n,), bool)
+        hit = tr.hit
+        t_hit = tr.t
+    hit_p = origin + t_hit[:, None] * direction
 
     face = tr.face
     frac = hit_p - tr.cell.astype(f32)
@@ -104,6 +117,40 @@ def do_bounce(
     bitangent = jnp.asarray(dda.FACE_BITANGENTS)[face, tri_id]
 
     t_mat = tr.block.astype(jnp.int32) * 6 + face
+    new_origin = hit_p
+
+    if inst_hit is not None:
+        # instance shading source: triangle-derived frame + interpolated uv
+        # (pathtrace_shader.rs:716-742)
+        tri_i = jnp.take(inst["tri"], inst_hit.prim, axis=0)       # (n, 3, 3)
+        uv_i = jnp.take(inst["uv"], inst_hit.prim, axis=0)         # (n, 3, 2)
+        tmat_i = jnp.take(inst["t"], inst_hit.prim, axis=0).astype(jnp.int32)
+        bu, bv = inst_hit.bary[:, 0], inst_hit.bary[:, 1]
+        bary3 = jnp.stack([1.0 - bu - bv, bu, bv], axis=-1)        # (n, 3)
+        uv_interp = (bary3[..., None] * uv_i).sum(1)               # (n, 2)
+        e01 = tri_i[:, 1] - tri_i[:, 0]
+        e02 = tri_i[:, 2] - tri_i[:, 0]
+        n_unnorm = jnp.cross(e01, e02)
+        n_i = n_unnorm / jnp.maximum(
+            jnp.sqrt(_dot(n_unnorm, n_unnorm)), 1e-30
+        )[:, None]
+        t_i = e01 / jnp.maximum(jnp.sqrt(_dot(e01, e01)), 1e-30)[:, None]
+        b_unnorm = jnp.cross(n_unnorm, e01)
+        b_i = b_unnorm / jnp.maximum(
+            jnp.sqrt(_dot(b_unnorm, b_unnorm)), 1e-30
+        )[:, None]
+        # bary-interpolated hit point (the reference's new_origin, :742)
+        p_i = (bary3[..., None] * tri_i).sum(1)
+
+        m = use_inst[:, None]
+        normal = jnp.where(m, n_i, normal)
+        tangent = jnp.where(m, t_i, tangent)
+        bitangent = jnp.where(m, b_i, bitangent)
+        u = jnp.where(use_inst, uv_interp[:, 0], u)
+        v = jnp.where(use_inst, uv_interp[:, 1], v)
+        t_mat = jnp.where(use_inst, tmat_i, t_mat)
+        new_origin = jnp.where(m, p_i, new_origin)
+
     tex0 = _fetch_atlas(materials["reflectivity"], t_mat, u, v)
     tex1 = _fetch_atlas(materials["emissivity"], t_mat, u, v)
     tex2 = _fetch_atlas(materials["metallicity"], t_mat, u, v)
@@ -112,8 +159,6 @@ def do_bounce(
     alpha = tex0[:, 3]
     emissivity = emission_gain * tex1 * (-_dot(direction, normal))[:, None]
     metallicity = tex2[:, 0]
-
-    new_origin = hit_p
 
     # --- scatter-kind branch (one draw, :758) ---
     scatter_rand = rng.draw(seed, 0)

@@ -30,6 +30,7 @@ def render_frame_sharded(
     materials: dict,
     bvh: Optional[dict],
     bvh_max_depth: int,
+    dist: Optional[jax.Array],
     eye: jax.Array,
     front: jax.Array,
     right: jax.Array,
@@ -47,11 +48,11 @@ def render_frame_sharded(
 
     replicated = P()
 
-    def shard_body(grid, translucent, materials, bvh, eye, front, right, up, frame):
+    def shard_body(grid, translucent, materials, bvh, dist, eye, front, right, up, frame):
         s_idx = jax.lax.axis_index("samples")
         r_idx = jax.lax.axis_index("rows")
         samples = megakernel.render_samples(
-            grid, translucent, materials, bvh, bvh_max_depth,
+            grid, translucent, materials, bvh, bvh_max_depth, dist, None,
             eye, front, right, up, frame, cfg,
             y0=r_idx * local_h, local_height=local_h,
             s0=s_idx * local_spp, local_spp=local_spp,
@@ -64,21 +65,21 @@ def render_frame_sharded(
     fn = shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(replicated,) * 9,
+        in_specs=(replicated,) * 10,
         out_specs=P("samples", "rows", None, None),
         check_rep=False,
     )
-    out = fn(grid, translucent, materials, bvh, eye, front, right, up, frame)
+    out = fn(grid, translucent, materials, bvh, dist, eye, front, right, up, frame)
     # every samples-shard holds the same merged rows; take shard 0
     return out[0]
 
 
 @functools.lru_cache(maxsize=16)
 def jit_render_sharded(mesh: Mesh, cfg: RenderConfig, bvh_max_depth: int, has_lights: bool):
-    def fn(grid, translucent, materials, bvh, eye, front, right, up, frame):
+    def fn(grid, translucent, materials, bvh, dist, eye, front, right, up, frame):
         return render_frame_sharded(
             mesh, grid, translucent, materials,
-            bvh if has_lights else None, bvh_max_depth,
+            bvh if has_lights else None, bvh_max_depth, dist,
             eye, front, right, up, frame, cfg,
         )
 

@@ -38,6 +38,8 @@ def render_samples(
     materials: dict,
     bvh: Optional[dict],
     bvh_max_depth: int,
+    dist: Optional[jax.Array],
+    inst: Optional[dict],
     eye: jax.Array,
     front: jax.Array,
     right: jax.Array,
@@ -73,19 +75,29 @@ def render_samples(
     alive = jnp.ones((n,), bool)
 
     for bounce in range(cfg.max_bounces):
-        tr = dda.trace(grid, translucent, o, d, t_min=cfg.t_min, t_max=cfg.t_max)
+        if dist is not None:
+            tr = dda.trace_skip(
+                grid, dist, translucent, o, d, t_min=cfg.t_min, t_max=cfg.t_max
+            )
+        else:
+            tr = dda.trace(grid, translucent, o, d, t_min=cfg.t_min, t_max=cfg.t_max)
         bounce_seed = rng.murmur3_combine(seeds, jnp.uint32(bounce))
+        inst_hit = None
+        if inst is not None:
+            from vrv_tpu.ops.instances import trace_instances
+
+            inst_hit = trace_instances(
+                o, d, inst["tri"], inst["valid"], t_min=cfg.t_min, t_max=cfg.t_max
+            )
         br = shade.do_bounce(
-            o, d, tr, bounce_seed, materials, bvh,
+            o, d, tr, bounce_seed, materials,
+            bvh if cfg.enable_nee else None,
             sky_emission=cfg.sky_emission,
             emission_gain=cfg.emission_gain,
             nee_importance_scale=cfg.nee_importance_scale,
             nee_mis_clamp=cfg.nee_mis_clamp,
             bvh_max_depth=bvh_max_depth,
-        ) if (bvh is not None and cfg.enable_nee) else shade.do_bounce(
-            o, d, tr, bounce_seed, materials, None,
-            sky_emission=cfg.sky_emission,
-            emission_gain=cfg.emission_gain,
+            inst=inst, inst_hit=inst_hit,
         )
         color = color + jnp.where(alive[:, None], throughput * br.emissivity, 0.0)
         throughput = jnp.where(alive[:, None], throughput * br.reflectivity, 0.0)
@@ -104,12 +116,12 @@ def pack_bgra(pixel_color: jax.Array) -> jax.Array:
 
 
 def render_frame(
-    grid, translucent, materials, bvh, bvh_max_depth,
+    grid, translucent, materials, bvh, bvh_max_depth, dist, inst,
     eye, front, right, up, frame, cfg: RenderConfig,
 ) -> jax.Array:
     """Full frame: average samples, pack BGRA u8 (H, W, 4)."""
     samples = render_samples(
-        grid, translucent, materials, bvh, bvh_max_depth,
+        grid, translucent, materials, bvh, bvh_max_depth, dist, inst,
         eye, front, right, up, frame, cfg,
     )
     return pack_bgra(samples.mean(axis=0))

@@ -84,7 +84,45 @@ class Scene:
             (self.table.texture_luminances.reshape(self.table.n_blocks, 6) > 0).any(1)
         )[0]
         self._rebuild_lights()
+        self._rebuild_dist()
+        self.instances_device: Optional[dict] = None
         self.tlas_rebuilds = 0  # observability: analog of TLAS dirty rebuilds
+
+    def set_instances(self, meshes) -> None:
+        """Upload dynamic entity meshes (list of world-space SoA meshes).
+
+        The analog of the reference's per-frame TLAS instance buffer
+        (scene.rs:218-258). Arrays are padded to power-of-two triangle
+        capacities to bound jit specializations.
+        """
+        tris, ts, uvs = [], [], []
+        for mesh in meshes:
+            pos = np.asarray(mesh["positions"], np.float32).reshape(-1, 3, 3)
+            tris.append(pos)
+            ts.append(np.asarray(mesh["t"], np.uint32).reshape(-1, 3)[:, 0])
+            uvs.append(np.asarray(mesh["uv"], np.float32).reshape(-1, 3, 2))
+        if not tris:
+            self.instances_device = None
+            return
+        tri = np.concatenate(tris)
+        t = np.concatenate(ts)
+        uv = np.concatenate(uvs)
+        n = len(tri)
+        cap = max(16, 1 << (n - 1).bit_length())
+        pad = cap - n
+        self.instances_device = {
+            "tri": jnp.asarray(np.pad(tri, ((0, pad), (0, 0), (0, 0)))),
+            "t": jnp.asarray(np.pad(t, (0, pad)).astype(np.int32)),
+            "uv": jnp.asarray(np.pad(uv, ((0, pad), (0, 0), (0, 0)))),
+            "valid": jnp.asarray(np.arange(cap) < n),
+        }
+
+    def _rebuild_dist(self):
+        from vrv_tpu.ops.dda import build_distance_field
+
+        self.dist = jax.jit(build_distance_field, static_argnums=(1,))(
+            self.grid, int(self.table.air)
+        )
 
     # ------------------------------------------------------------------
     # light structure
@@ -129,6 +167,7 @@ class Scene:
         touches = self._edit_touches_lights(cell, old, block_id)
         self.grid = _set_cell(self.grid, jnp.asarray(cell, jnp.int32), jnp.uint8(block_id))
         self.tlas_rebuilds += 1
+        self._rebuild_dist()
         if touches:
             self._rebuild_lights()
         return True
@@ -148,6 +187,8 @@ class Scene:
             self.translucent,
             self.materials,
             self.bvh_device,
+            self.dist,
+            self.instances_device,
             self.camera_to_local(eye),
             jnp.asarray(front, jnp.float32),
             jnp.asarray(right, jnp.float32),
@@ -162,6 +203,8 @@ class Scene:
             self.translucent,
             self.materials,
             self.bvh_device,
+            self.dist,
+            self.instances_device,
             self.camera_to_local(eye),
             jnp.asarray(front, jnp.float32),
             jnp.asarray(right, jnp.float32),
@@ -172,10 +215,17 @@ class Scene:
 
 @functools.lru_cache(maxsize=64)
 def _jit_render(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool):
-    def fn(grid, translucent, materials, bvh, eye, front, right, up, frame):
+    def fn(grid, translucent, materials, bvh, dist, inst, eye, front, right, up, frame):
+        if cfg.mode == "wavefront":
+            from vrv_tpu.render import wavefront
+
+            return wavefront.render_frame_wavefront(
+                grid, translucent, materials, bvh if has_lights else None,
+                bvh_max_depth, dist, inst, eye, front, right, up, frame, cfg,
+            )
         return megakernel.render_frame(
             grid, translucent, materials, bvh if has_lights else None,
-            bvh_max_depth, eye, front, right, up, frame, cfg,
+            bvh_max_depth, dist, inst, eye, front, right, up, frame, cfg,
         )
 
     return jax.jit(fn)
@@ -183,10 +233,10 @@ def _jit_render(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool):
 
 @functools.lru_cache(maxsize=64)
 def _jit_render_samples(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool):
-    def fn(grid, translucent, materials, bvh, eye, front, right, up, frame):
+    def fn(grid, translucent, materials, bvh, dist, inst, eye, front, right, up, frame):
         return megakernel.render_samples(
             grid, translucent, materials, bvh if has_lights else None,
-            bvh_max_depth, eye, front, right, up, frame, cfg,
+            bvh_max_depth, dist, inst, eye, front, right, up, frame, cfg,
         )
 
     return jax.jit(fn)

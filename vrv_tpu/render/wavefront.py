@@ -1,0 +1,186 @@
+"""Wavefront frame renderer: per-bounce kernels with ray compaction.
+
+The reference's wavefront branch splits the megakernel into per-bounce
+dispatches with ray queues and found it "a little faster" at higher memory
+cost (reference README.md:28-43). The TPU analog:
+
+  - bounce 0 runs over the full (coherent) primary-ray buffer;
+  - after each bounce, live rays are compacted to a prefix with a
+    cumsum-scatter (stable, preserves image-order coherence);
+  - subsequent bounces process only ceil(alive / SEGMENT) fixed-size
+    segments inside a lax.while_loop — dead-tail segments are never
+    touched, so wall-clock tracks the live-ray count while every shape
+    stays static (XLA-compatible compaction).
+
+Radiance bookkeeping: each ray carries its pixel's flat index; bounce
+contributions are scatter-added into the framebuffer, which is exactly
+the forward-throughput accumulation of render/megakernel.py, so both
+modes produce identical images for the same seeds (tested).
+
+Per-bounce live-ray occupancy is reported via `occupancy_out` when
+requested — the profiling signal the reference's wavefront branch was
+built to expose (SURVEY.md section 5, tracing).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vrv_tpu.config import RenderConfig
+from vrv_tpu.ops import dda, rng, shade
+from vrv_tpu.ops.camera_rays import raygen
+from vrv_tpu.render.megakernel import pack_bgra
+
+SEGMENT = 1 << 17  # rays per wavefront segment
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def render_samples_wavefront(
+    grid: jax.Array,
+    translucent: jax.Array,
+    materials: dict,
+    bvh: Optional[dict],
+    bvh_max_depth: int,
+    dist: Optional[jax.Array],
+    inst: Optional[dict],
+    eye, front, right, up, frame,
+    cfg: RenderConfig,
+    with_occupancy: bool = False,
+):
+    """Sample-summed radiance (H, W, 3) float32 (divide by spp for the mean)."""
+    W, H, S = cfg.width, cfg.height, cfg.samples_per_pixel
+    o, d, sample_seed = raygen(
+        eye, front, right, up, W, H, S, frame, jitter_scale=cfg.jitter_scale
+    )
+    n = S * H * W
+    seg_size = min(SEGMENT, _ceil_to(n, 1024))
+    n_pad = _ceil_to(n, seg_size)
+
+    def pad(x, fill=0):
+        pad_width = [(0, n_pad - n)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x.reshape((n,) + x.shape[1:]), pad_width, constant_values=fill)
+
+    o = pad(o.reshape(n, 3))
+    d = pad(d.reshape(n, 3))
+    seeds = pad(sample_seed.reshape(n))
+    # pixel id of each ray (sample-major layout: ray r -> pixel r % (H*W))
+    pix = pad(
+        jnp.tile(jnp.arange(H * W, dtype=jnp.int32), (S,)), fill=0
+    )
+    throughput = pad(jnp.ones((n, 3), jnp.float32))
+    alive_n = jnp.int32(n)
+
+    fb = jnp.zeros((H * W, 3), jnp.float32)
+    occupancy = []
+
+    def bounce_segment(args):
+        """Trace+shade one segment; returns updated segment state."""
+        (seg_o, seg_d, seg_seed, seg_T, bounce) = args
+        if dist is not None:
+            tr = dda.trace_skip(
+                grid, dist, translucent, seg_o, seg_d,
+                t_min=cfg.t_min, t_max=cfg.t_max,
+            )
+        else:
+            tr = dda.trace(
+                grid, translucent, seg_o, seg_d, t_min=cfg.t_min, t_max=cfg.t_max
+            )
+        bseed = rng.murmur3_combine(seg_seed, bounce.astype(jnp.uint32))
+        inst_hit = None
+        if inst is not None:
+            from vrv_tpu.ops.instances import trace_instances
+
+            inst_hit = trace_instances(
+                seg_o, seg_d, inst["tri"], inst["valid"],
+                t_min=cfg.t_min, t_max=cfg.t_max,
+            )
+        br = shade.do_bounce(
+            seg_o, seg_d, tr, bseed, materials,
+            bvh if cfg.enable_nee else None,
+            sky_emission=cfg.sky_emission,
+            emission_gain=cfg.emission_gain,
+            nee_importance_scale=cfg.nee_importance_scale,
+            nee_mis_clamp=cfg.nee_mis_clamp,
+            bvh_max_depth=bvh_max_depth,
+            inst=inst, inst_hit=inst_hit,
+        )
+        contrib = seg_T * br.emissivity
+        new_T = seg_T * br.reflectivity
+        return contrib, new_T, br.miss, br.new_origin, br.new_direction
+
+    for bounce in range(cfg.max_bounces):
+        if with_occupancy:
+            occupancy.append(alive_n)
+        n_segs_live = (alive_n + seg_size - 1) // seg_size
+
+        def seg_body(s, carry):
+            fb, o, d, seeds, throughput, alive_mask = carry
+            start = s * seg_size
+            seg_o = jax.lax.dynamic_slice(o, (start, 0), (seg_size, 3))
+            seg_d = jax.lax.dynamic_slice(d, (start, 0), (seg_size, 3))
+            seg_seed = jax.lax.dynamic_slice(seeds, (start,), (seg_size,))
+            seg_T = jax.lax.dynamic_slice(throughput, (start, 0), (seg_size, 3))
+            seg_pix = jax.lax.dynamic_slice(pix_cur, (start,), (seg_size,))
+            seg_alive = jax.lax.dynamic_slice(alive_mask, (start,), (seg_size,))
+
+            contrib, new_T, miss, new_o, new_d = bounce_segment(
+                (seg_o, seg_d, seg_seed, seg_T, jnp.uint32(bounce))
+            )
+            contrib = jnp.where(seg_alive[:, None], contrib, 0.0)
+            fb = fb.at[seg_pix].add(contrib)
+            new_T = jnp.where(seg_alive[:, None] & ~miss[:, None], new_T, 0.0)
+            o = jax.lax.dynamic_update_slice(o, new_o, (start, 0))
+            d = jax.lax.dynamic_update_slice(d, new_d, (start, 0))
+            throughput = jax.lax.dynamic_update_slice(throughput, new_T, (start, 0))
+            alive_mask = jax.lax.dynamic_update_slice(
+                alive_mask, seg_alive & ~miss, (start,)
+            )
+            return fb, o, d, seeds, throughput, alive_mask
+
+        pix_cur = pix  # pixel ids as of this bounce (compaction happens after)
+        alive_mask = jnp.arange(n_pad, dtype=jnp.int32) < alive_n
+        fb, o, d, seeds, throughput, alive_mask = jax.lax.fori_loop(
+            0, n_segs_live, seg_body, (fb, o, d, seeds, throughput, alive_mask)
+        )
+
+        if bounce == cfg.max_bounces - 1:
+            break
+
+        # --- compaction: stable scatter of live rays to a prefix ---
+        live = alive_mask
+        idx = jnp.cumsum(live.astype(jnp.int32)) - 1
+        alive_n = jnp.maximum(idx[-1] + 1, 0) * jnp.int32(live.any())
+        # dead rays scatter to index n_pad, which mode='drop' discards
+        dest = jnp.where(live, idx, n_pad)
+
+        def compact(x):
+            return jnp.zeros_like(x).at[dest].set(x, mode="drop")
+
+        o = compact(o)
+        d = compact(d)
+        seeds = compact(seeds)
+        throughput = compact(throughput)
+        pix = compact(pix)
+
+    fb = fb.reshape(H, W, 3)
+    if with_occupancy:
+        return fb, jnp.stack(occupancy)
+    return fb
+
+
+def render_frame_wavefront(
+    grid, translucent, materials, bvh, bvh_max_depth, dist, inst,
+    eye, front, right, up, frame, cfg: RenderConfig,
+) -> jax.Array:
+    fb = render_samples_wavefront(
+        grid, translucent, materials, bvh, bvh_max_depth, dist, inst,
+        eye, front, right, up, frame, cfg,
+    )
+    return pack_bgra(fb / cfg.samples_per_pixel)
