@@ -1,37 +1,63 @@
-"""Test harness: run all tests on a virtual 8-device CPU mesh.
+"""Test harness.
 
-Multi-chip sharding tests use the standard JAX trick of
---xla_force_host_platform_device_count (SURVEY.md section 4, point 4);
-everything else also runs on CPU for speed and determinism.
-
-Must set env BEFORE jax is imported anywhere.
+Tests run on the CPU backend (fast, deterministic, no TPU-tunnel
+round-trips); JAX_PLATFORMS is forced because the image presets the axon
+TPU platform. Multi-device sharding tests need a virtual 8-device CPU
+mesh, but the image's sitecustomize initializes the PJRT backend at
+interpreter start — before any conftest — pinning the device set; those
+tests therefore run in clean subprocesses via `run_in_clean_env` below
+(same mechanism as __graft_entry__.dryrun_multichip).
 """
 
 import os
+import subprocess
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # the image presets axon (TPU tunnel)
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
 
-# 8 virtual CPU devices for sharding tests (jax>=0.8 config route; the
-# XLA_FLAGS env above covers older versions)
-try:
-    jax.config.update("jax_num_cpu_devices", 8)
-except Exception:
-    pass
-
 # persistent compile cache: compiles dominate wall-clock on this 1-core host
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+
+def clean_env(n_devices: int = 8) -> dict:
+    """Environment for a subprocess with a virtual n-device CPU mesh."""
+    env = dict(os.environ)
+    env["VRV_TEST_REEXEC"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = ":".join(
+        [REPO_ROOT]
+        + [p for p in env.get("PYTHONPATH", "").split(":") if p and "axon_site" not in p]
+    )
+    flags = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split() if "device_count" not in f
+    )
+    env["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={n_devices}"
+    ).strip()
+    return env
+
+
+def run_in_clean_env(code: str, n_devices: int = 8, timeout: int = 1200) -> str:
+    """Run python code in a subprocess with n virtual CPU devices."""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=clean_env(n_devices),
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=REPO_ROOT,
+    )
+    assert out.returncode == 0, f"subprocess failed:\n{out.stdout}\n{out.stderr}"
+    return out.stdout
 
 
 @pytest.fixture(scope="session")

@@ -28,11 +28,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 def timeit(fn, *args, n=20, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(out)  # force full materialization through the tunnel
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+        np.asarray(out)
     return (time.perf_counter() - t0) / n
 
 
@@ -71,38 +71,62 @@ def probe_xla_gather_chain():
 
 
 def probe_pallas_gather():
-    print("== Pallas VMEM gather ==")
+    print("== Pallas VMEM gather variants ==")
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    TBL = 1 << 17  # 128K-entry table fits VMEM at int32
-    B = 1 << 13
+    def try_variant(name, build):
+        try:
+            fn, check = build()
+            out = np.asarray(fn())
+            ok = check(out)
+            dt = timeit(fn)
+            nel = out.size
+            print(f"  {name}: correct={ok}  {dt*1e6:9.1f} us -> {nel/dt/1e9:.3f} G/s")
+        except Exception as e:
+            print(f"  {name} FAILED: {type(e).__name__}: {str(e)[:200]}")
 
-    def kernel(table_ref, idx_ref, out_ref):
-        out_ref[:] = jnp.take(table_ref[:], idx_ref[:], axis=0)
+    # variant A: 2D table (rows, 128), gather rows via take(axis=0)
+    ROWS, LANES, B = 1 << 14, 128, 1 << 12
+    table2 = np.random.randint(0, 100, size=(ROWS, LANES), dtype=np.int32)
+    idxr = np.random.randint(0, ROWS, size=(B,), dtype=np.int32)
+    t2j, irj = jnp.asarray(table2), jnp.asarray(idxr)
 
-    table = jnp.asarray(np.random.randint(0, 100, size=(TBL,), dtype=np.int32))
-    idx = jnp.asarray(np.random.randint(0, TBL, size=(B,), dtype=np.int32))
+    def build_rows():
+        def kernel(t_ref, i_ref, o_ref):
+            o_ref[:] = jnp.take(t_ref[:], i_ref[:], axis=0)
 
-    try:
-        fn = jax.jit(
-            lambda t, i: pl.pallas_call(
-                kernel,
-                out_shape=jax.ShapeDtypeStruct((B,), jnp.int32),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.VMEM),
-                    pl.BlockSpec(memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            )(t, i)
-        )
-        out = np.asarray(fn(table, idx))
-        ok = (out == np.asarray(table)[np.asarray(idx)]).all()
-        dt = timeit(fn, table, idx)
-        print(f"  take(VMEM table, {B} idx): correct={ok}  {dt*1e6:.1f} us "
-              f"-> {B/dt/1e9:.2f} G/s")
-    except Exception as e:
-        print(f"  jnp.take in Pallas FAILED: {type(e).__name__}: {str(e)[:300]}")
+        fn = jax.jit(lambda: pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, LANES), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(t2j, irj))
+        return fn, lambda out: (out == table2[idxr]).all()
+
+    try_variant("take rows (2D table, axis=0)", build_rows)
+
+    # variant B: take_along_axis along lanes: out[s, j] = t[s, idx[s, j]]
+    S = 256
+    tab_b = np.random.randint(0, 100, size=(S, LANES), dtype=np.int32)
+    idx_b = np.random.randint(0, LANES, size=(S, LANES), dtype=np.int32)
+    tbj, ibj = jnp.asarray(tab_b), jnp.asarray(idx_b)
+
+    def build_lanes():
+        def kernel(t_ref, i_ref, o_ref):
+            o_ref[:] = jnp.take_along_axis(t_ref[:], i_ref[:], axis=1)
+
+        fn = jax.jit(lambda: pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((S, LANES), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(tbj, ibj))
+        return fn, lambda out: (out == np.take_along_axis(tab_b, idx_b, 1)).all()
+
+    try_variant("take_along_axis lanes (axis=1)", build_lanes)
 
 
 def probe_trace():

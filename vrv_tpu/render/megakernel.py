@@ -75,30 +75,38 @@ def render_samples(
     alive = jnp.ones((n,), bool)
 
     for bounce in range(cfg.max_bounces):
-        if dist is not None:
-            tr = dda.trace_skip(
-                grid, dist, translucent, o, d, t_min=cfg.t_min, t_max=cfg.t_max
-            )
-        else:
-            tr = dda.trace(grid, translucent, o, d, t_min=cfg.t_min, t_max=cfg.t_max)
+        # named scopes make the per-stage costs legible in xprof traces —
+        # the observability the reference's wavefront branch existed for
+        # (reference README.md:40-43)
+        with jax.named_scope(f"trace_b{bounce}"):
+            if dist is not None:
+                tr = dda.trace_skip(
+                    grid, dist, translucent, o, d, t_min=cfg.t_min, t_max=cfg.t_max
+                )
+            else:
+                tr = dda.trace(
+                    grid, translucent, o, d, t_min=cfg.t_min, t_max=cfg.t_max
+                )
         bounce_seed = rng.murmur3_combine(seeds, jnp.uint32(bounce))
         inst_hit = None
         if inst is not None:
             from vrv_tpu.ops.instances import trace_instances
 
-            inst_hit = trace_instances(
-                o, d, inst["tri"], inst["valid"], t_min=cfg.t_min, t_max=cfg.t_max
+            with jax.named_scope(f"instances_b{bounce}"):
+                inst_hit = trace_instances(
+                    o, d, inst["tri"], inst["valid"], t_min=cfg.t_min, t_max=cfg.t_max
+                )
+        with jax.named_scope(f"shade_b{bounce}"):
+            br = shade.do_bounce(
+                o, d, tr, bounce_seed, materials,
+                bvh if cfg.enable_nee else None,
+                sky_emission=cfg.sky_emission,
+                emission_gain=cfg.emission_gain,
+                nee_importance_scale=cfg.nee_importance_scale,
+                nee_mis_clamp=cfg.nee_mis_clamp,
+                bvh_max_depth=bvh_max_depth,
+                inst=inst, inst_hit=inst_hit,
             )
-        br = shade.do_bounce(
-            o, d, tr, bounce_seed, materials,
-            bvh if cfg.enable_nee else None,
-            sky_emission=cfg.sky_emission,
-            emission_gain=cfg.emission_gain,
-            nee_importance_scale=cfg.nee_importance_scale,
-            nee_mis_clamp=cfg.nee_mis_clamp,
-            bvh_max_depth=bvh_max_depth,
-            inst=inst, inst_hit=inst_hit,
-        )
         color = color + jnp.where(alive[:, None], throughput * br.emissivity, 0.0)
         throughput = jnp.where(alive[:, None], throughput * br.reflectivity, 0.0)
         alive = alive & ~br.miss
