@@ -86,3 +86,21 @@ class PathTracer:
     def reset_accumulation(self):
         self._accum = None
         self._accum_frames = 0
+
+    def render_converged(
+        self, pose: CameraPose, total_spp: int = 128, frame0: int = 0
+    ) -> jax.Array:
+        """Converged render (BASELINE config 5: 128 spp) by accumulating
+        cfg.samples_per_pixel-sized chunks across frame ids — equivalent in
+        distribution to one high-spp pass, without a 100M-ray live set."""
+        from vrv_tpu.render.megakernel import pack_bgra
+
+        chunk = self.render_cfg.samples_per_pixel
+        n_chunks = max(1, total_spp // chunk)
+        acc = None
+        for i in range(n_chunks):
+            s = self.scene.render_samples(
+                pose.eye, pose.front, pose.right, pose.up, frame0 + i, self.render_cfg
+            ).sum(axis=0)
+            acc = s if acc is None else acc + s
+        return pack_bgra(acc / (n_chunks * chunk))

@@ -309,6 +309,15 @@ def trace_skip(
 ) -> TraceResult:
     """`trace` with distance-field empty-space skipping. Same results.
 
+    The production tracer: tuned for the TPU's cost model, where random
+    access (gather/scatter) runs at scalar-loop rate (~8 ns/element,
+    measured in tools/probe_tpu.py) while vector ALU is ~free. Each DDA
+    step therefore performs exactly ONE gather — a fused int32 word
+    packing block id, translucent/renders flags, and chebyshev skip
+    distance — and every axis selection (argmin, per-axis step, face id)
+    is dense component math instead of take_along_axis/scatter (which
+    also lower to scalar loops).
+
     Cells with dist >= 3 advance the ray to the boundary of the radius
     (dist-2) safety box in one step (the -2 margin keeps the landing cell
     strictly inside the known-empty region, so a 1e-4 nudge cannot skip a
@@ -318,120 +327,159 @@ def trace_skip(
     shape = origin.shape[:-1]
     o = origin.reshape(-1, 3).astype(jnp.float32)
     d = direction.reshape(-1, 3).astype(jnp.float32)
-    n = o.shape[0]
-    size = jnp.asarray(grid.shape, jnp.float32)
-    size_i = jnp.asarray(grid.shape, jnp.int32)
-    air = jnp.int32(translucent.shape[0] - 1)
-    strides = jnp.asarray([grid.shape[1] * grid.shape[2], grid.shape[2], 1], jnp.int32)
-    # one fused gather per step: block id in the high byte, skip distance low
+    f32 = jnp.float32
+    i32 = jnp.int32
+
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    X, Y, Z = grid.shape
+    air = int(translucent.shape[0] - 1)
+
+    # fused per-cell word: block<<16 | translucent<<9 | renders<<8 | dist
+    tl_i = translucent.astype(jnp.int32)
     flat_comb = (
-        (grid.reshape(-1).astype(jnp.int32) << 8) | dist.reshape(-1).astype(jnp.int32)
+        (grid.reshape(-1).astype(jnp.int32) << 16)
+        | (jnp.take(tl_i, grid.reshape(-1).astype(jnp.int32)) << 9)
+        | ((grid.reshape(-1) != jnp.uint8(air)).astype(jnp.int32) << 8)
+        | dist.reshape(-1).astype(jnp.int32)
     )
-    # out-of-grid = air with max skip distance
-    outside_comb = (air << 8) | jnp.int32(255)
+    outside_comb = jnp.int32((air << 16) | (1 << 9) | 255)
 
-    def flat_of(cell):
-        c = jnp.clip(cell, 0, size_i - 1)
-        return (c * strides).sum(-1)
+    def lookup(cx, cy, cz, inside):
+        fx = jnp.clip(cx, 0, X - 1)
+        fy = jnp.clip(cy, 0, Y - 1)
+        fz = jnp.clip(cz, 0, Z - 1)
+        flat = (fx * Y + fy) * Z + fz
+        got = jnp.take(flat_comb, flat, axis=0)
+        return jnp.where(inside, got, outside_comb)
 
-    def cell_comb(cell, inside):
-        b = jnp.take(flat_comb, flat_of(cell), axis=0)
-        return jnp.where(inside, b, outside_comb)
+    tiny = 1e-12
+    dxs = jnp.where(jnp.abs(dx) < tiny, f32(tiny), dx)
+    dys = jnp.where(jnp.abs(dy) < tiny, f32(tiny), dy)
+    dzs = jnp.where(jnp.abs(dz) < tiny, f32(tiny), dz)
+    ix, iy, iz = 1.0 / dxs, 1.0 / dys, 1.0 / dzs
+    bigx = jnp.abs(dx) < tiny
+    bigy = jnp.abs(dy) < tiny
+    bigz = jnp.abs(dz) < tiny
 
-    d_safe = jnp.where(jnp.abs(d) < 1e-12, jnp.float32(1e-12), d)
-    inv_d = 1.0 / d_safe
+    # slab clip, componentwise
+    def slab(o1, inv, big, size):
+        lo = (0.0 - o1) * inv
+        hi = (size - o1) * inv
+        tn = jnp.minimum(lo, hi)
+        tf = jnp.maximum(lo, hi)
+        # degenerate axis: inside -> (-inf, inf), outside -> (inf, -inf)
+        inside1 = (o1 >= 0.0) & (o1 <= size)
+        tn = jnp.where(big, jnp.where(inside1, -_BIG, _BIG), tn)
+        tf = jnp.where(big, jnp.where(inside1, _BIG, -_BIG), tf)
+        return tn, tf
 
-    t_lo = (0.0 - o) * inv_d
-    t_hi = (size - o) * inv_d
-    t_near = jnp.minimum(t_lo, t_hi)
-    t_far = jnp.maximum(t_lo, t_hi)
-    t_enter = t_near.max(-1)
-    t_exit = t_far.min(-1)
-    enter_axis = jnp.argmax(t_near, axis=-1)
+    tnx, tfx = slab(ox, ix, bigx, f32(X))
+    tny, tfy = slab(oy, iy, bigy, f32(Y))
+    tnz, tfz = slab(oz, iz, bigz, f32(Z))
+    t_enter = jnp.maximum(jnp.maximum(tnx, tny), tnz)
+    t_exit = jnp.minimum(jnp.minimum(tfx, tfy), tfz)
+    # entry axis + its direction sign (dense selects)
+    enter_is_x = t_enter == tnx
+    enter_is_y = (~enter_is_x) & (t_enter == tny)
+    enter_axis = jnp.where(enter_is_x, 0, jnp.where(enter_is_y, 1, 2))
+    d_enter = jnp.where(enter_is_x, dx, jnp.where(enter_is_y, dy, dz))
 
-    t0 = jnp.maximum(t_enter, jnp.float32(t_min))
+    t0 = jnp.maximum(t_enter, f32(t_min))
     valid = (t0 <= t_exit) & (t0 <= t_max)
 
-    p0 = o + t0[:, None] * d
-    cell = jnp.clip(jnp.floor(p0).astype(jnp.int32), 0, size_i - 1)
-    cur_comb = cell_comb(cell, valid)
-    cur_block = (cur_comb >> 8).astype(jnp.uint8)
+    cx = jnp.clip(jnp.floor(ox + t0 * dx).astype(i32), 0, X - 1)
+    cy = jnp.clip(jnp.floor(oy + t0 * dy).astype(i32), 0, Y - 1)
+    cz = jnp.clip(jnp.floor(oz + t0 * dz).astype(i32), 0, Z - 1)
+    cur_comb = lookup(cx, cy, cz, valid)
+    cur_renders = (cur_comb >> 8) & 1
 
     starts_outside = t_enter > t_min
-    entry_renders = cur_block != air.astype(jnp.uint8)
-    entry_face = enter_axis * 2 + jnp.where(
-        jnp.take_along_axis(d, enter_axis[:, None], axis=-1)[:, 0] > 0, 0, 1
+    entry_face = enter_axis * 2 + jnp.where(d_enter > 0, 0, 1)
+    hit0 = (
+        valid & starts_outside & (cur_renders == 1)
+        & (t_enter >= t_min) & (t_enter <= t_max)
     )
-    hit0 = valid & starts_outside & entry_renders & (t_enter >= t_min) & (t_enter <= t_max)
 
     state = dict(
         alive=valid & ~hit0,
-        cell=cell,
-        cur_comb=cur_comb,
+        cx=cx, cy=cy, cz=cz,
+        comb=cur_comb,
         hit=hit0,
-        t=jnp.where(hit0, t_enter, jnp.float32(0.0)),
-        block=jnp.where(hit0, cur_block, air.astype(jnp.uint8)),
-        face=jnp.where(hit0, entry_face.astype(jnp.int32), 0),
-        hit_cell=jnp.where(hit0[:, None], cell, 0),
+        t=jnp.where(hit0, t_enter, f32(0.0)),
+        block=jnp.where(hit0, (cur_comb >> 16).astype(jnp.uint8), jnp.uint8(air)),
+        face=jnp.where(hit0, entry_face.astype(i32), 0),
+        hx=jnp.where(hit0, cx, 0),
+        hy=jnp.where(hit0, cy, 0),
+        hz=jnp.where(hit0, cz, 0),
         entering=hit0,
         steps=jnp.int32(0),
     )
 
-    max_steps = int(grid.shape[0] + grid.shape[1] + grid.shape[2] + 3)
-    translucent_b = translucent.astype(jnp.bool_)
+    max_steps = int(X + Y + Z + 3)
 
     def cond(s):
         return (s["steps"] < max_steps) & s["alive"].any()
 
     def body(s):
-        cell = s["cell"]
-        cur = (s["cur_comb"] >> 8).astype(jnp.uint8)
-        v = s["cur_comb"] & 255
+        scx, scy, scz = s["cx"], s["cy"], s["cz"]
+        comb = s["comb"]
+        cur_tl = (comb >> 9) & 1
+        cur_rd = (comb >> 8) & 1
+        v = comb & 255
         can_skip = s["alive"] & (v >= 3)
-        r = (v - 2).astype(jnp.float32)
+        r = (v - 2).astype(f32)
 
         # --- skip branch: advance to the radius-(v-2) box boundary ---
-        box_lo = cell.astype(jnp.float32) - r[:, None]
-        box_hi = cell.astype(jnp.float32) + 1.0 + r[:, None]
-        t_box = jnp.where(d > 0, (box_hi - o) * inv_d, (box_lo - o) * inv_d)
-        t_box = jnp.where(jnp.abs(d) < 1e-12, _BIG, t_box)
-        t_skip = t_box.min(-1)
-        p_skip = o + (t_skip[:, None] + 1e-4) * d
-        cell_skip = jnp.floor(p_skip).astype(jnp.int32)
-        skip_inside = ((cell_skip >= 0) & (cell_skip < size_i)).all(-1)
+        fx, fy, fz = scx.astype(f32), scy.astype(f32), scz.astype(f32)
+        tbx = jnp.where(bigx, _BIG, jnp.where(dx > 0, (fx + 1.0 + r - ox) * ix, (fx - r - ox) * ix))
+        tby = jnp.where(bigy, _BIG, jnp.where(dy > 0, (fy + 1.0 + r - oy) * iy, (fy - r - oy) * iy))
+        tbz = jnp.where(bigz, _BIG, jnp.where(dz > 0, (fz + 1.0 + r - oz) * iz, (fz - r - oz) * iz))
+        t_skip = jnp.minimum(jnp.minimum(tbx, tby), tbz) + 1e-4
+        kx = jnp.floor(ox + t_skip * dx).astype(i32)
+        ky = jnp.floor(oy + t_skip * dy).astype(i32)
+        kz = jnp.floor(oz + t_skip * dz).astype(i32)
+        skip_inside = (
+            (kx >= 0) & (kx < X) & (ky >= 0) & (ky < Y) & (kz >= 0) & (kz < Z)
+        )
         skip_out = ~skip_inside | (t_skip > t_max)
 
         # --- exact branch: one-cell DDA step with face logic ---
-        next_b = cell.astype(jnp.float32) + (d > 0).astype(jnp.float32)
-        t_axes = (next_b - o) * inv_d
-        t_axes = jnp.where(jnp.abs(d) < 1e-12, _BIG, t_axes)
-        axis = jnp.argmin(t_axes, axis=-1)
-        t_next = jnp.take_along_axis(t_axes, axis[:, None], axis=-1)[:, 0]
-        step_sign = jnp.sign(
-            jnp.take_along_axis(d, axis[:, None], axis=-1)[:, 0]
-        ).astype(jnp.int32)
-        step = jnp.zeros_like(cell).at[jnp.arange(n), axis].set(step_sign)
-        new_cell_exact = cell + step
-        inside_exact = ((new_cell_exact >= 0) & (new_cell_exact < size_i)).all(-1)
+        tax = jnp.where(bigx, _BIG, (fx + (dx > 0) - ox) * ix)
+        tay = jnp.where(bigy, _BIG, (fy + (dy > 0) - oy) * iy)
+        taz = jnp.where(bigz, _BIG, (fz + (dz > 0) - oz) * iz)
+        t_next = jnp.minimum(jnp.minimum(tax, tay), taz)
+        ax_x = t_next == tax
+        ax_y = (~ax_x) & (t_next == tay)
+        axis = jnp.where(ax_x, 0, jnp.where(ax_y, 1, 2))
+        d_axis = jnp.where(ax_x, dx, jnp.where(ax_y, dy, dz))
+        sgn = jnp.where(d_axis > 0, 1, -1).astype(i32)
+        ex = scx + jnp.where(ax_x, sgn, 0)
+        ey = scy + jnp.where(ax_y, sgn, 0)
+        ez = scz + jnp.where(ax_x | ax_y, 0, sgn)
+        inside_exact = (
+            (ex >= 0) & (ex < X) & (ey >= 0) & (ey < Y) & (ez >= 0) & (ez < Z)
+        )
 
-        new_cell = jnp.where(can_skip[:, None], cell_skip, new_cell_exact)
+        nx = jnp.where(can_skip, kx, ex)
+        ny = jnp.where(can_skip, ky, ey)
+        nz = jnp.where(can_skip, kz, ez)
         inside = jnp.where(can_skip, skip_inside, inside_exact)
-        new_comb = cell_comb(new_cell, inside)
-        new_block = (new_comb >> 8).astype(jnp.uint8)
-        air_u8 = air.astype(jnp.uint8)
+        new_comb = lookup(nx, ny, nz, inside)
+        new_tl = (new_comb >> 9) & 1
+        new_rd = (new_comb >> 8) & 1
 
-        cur_tl = _lookup_u8(translucent_b, cur)
-        new_tl = _lookup_u8(translucent_b, new_block)
-        entering_hit = (new_block != air_u8) & cur_tl & ~can_skip
-        exiting_hit = (cur != air_u8) & new_tl & ~can_skip
+        entering_hit = (new_rd == 1) & (cur_tl == 1) & ~can_skip
+        exiting_hit = (cur_rd == 1) & (new_tl == 1) & ~can_skip
         in_range = (t_next >= t_min) & (t_next <= t_max)
-        any_hit = s["alive"] & ~can_skip & in_range & (entering_hit | exiting_hit)
+        any_hit = s["alive"] & in_range & (entering_hit | exiting_hit)
 
-        face_pos = axis * 2 + jnp.where(step_sign > 0, 0, 1)
-        face_neg = axis * 2 + jnp.where(step_sign > 0, 1, 0)
-        face = jnp.where(entering_hit, face_pos, face_neg).astype(jnp.int32)
-        hblock = jnp.where(entering_hit, new_block, cur)
-        hcell = jnp.where(entering_hit[:, None], new_cell, cell)
+        face_pos = axis * 2 + jnp.where(sgn > 0, 0, 1)
+        face_neg = axis * 2 + jnp.where(sgn > 0, 1, 0)
+        face = jnp.where(entering_hit, face_pos, face_neg).astype(i32)
+        hblock = jnp.where(
+            entering_hit, (new_comb >> 16), (comb >> 16)
+        ).astype(jnp.uint8)
 
         rec = any_hit & ~s["hit"]
         dead_exact = ~inside_exact | (t_next > t_max)
@@ -439,13 +487,15 @@ def trace_skip(
         alive = s["alive"] & ~any_hit & ~dead
         return dict(
             alive=alive,
-            cell=new_cell,
-            cur_comb=new_comb,
+            cx=nx, cy=ny, cz=nz,
+            comb=new_comb,
             hit=s["hit"] | any_hit,
             t=jnp.where(rec, t_next, s["t"]),
             block=jnp.where(rec, hblock, s["block"]),
             face=jnp.where(rec, face, s["face"]),
-            hit_cell=jnp.where(rec[:, None], hcell, s["hit_cell"]),
+            hx=jnp.where(rec, jnp.where(entering_hit, nx, scx), s["hx"]),
+            hy=jnp.where(rec, jnp.where(entering_hit, ny, scy), s["hy"]),
+            hz=jnp.where(rec, jnp.where(entering_hit, nz, scz), s["hz"]),
             entering=jnp.where(rec, entering_hit, s["entering"]),
             steps=s["steps"] + 1,
         )
@@ -455,12 +505,13 @@ def trace_skip(
     def rshape(x, extra=()):
         return x.reshape(shape + extra)
 
+    cell = jnp.stack([s["hx"], s["hy"], s["hz"]], axis=-1).reshape(shape + (3,))
     return TraceResult(
         hit=rshape(s["hit"]),
         t=rshape(s["t"]),
         block=rshape(s["block"]),
         face=rshape(s["face"]),
-        cell=rshape(s["hit_cell"], (3,)),
+        cell=cell,
         entering=rshape(s["entering"]),
     )
 
