@@ -40,8 +40,37 @@ from vrv_tpu.ops.intersect import (
 )
 
 
+_DENSE_GATHER_MAX = 256
+
+
 def _gather(arr, idx):
-    return jnp.take(arr, idx, axis=0)
+    """Row lookup tuned for TPU: random access lowers to scalar loops
+    (~8 ns/element, tools/probe_tpu.py), so for small node tables a
+    one-hot matmul on the MXU is orders of magnitude faster. Falls back
+    to jnp.take for large trees."""
+    c = arr.shape[0]
+    if c > _DENSE_GATHER_MAX or idx.ndim != 1:
+        return jnp.take(arr, idx, axis=0)
+    # one-hot matmul at HIGHEST precision: a default-precision TPU matmul
+    # rounds inputs to bf16 (corrupting constants like the 1e-4 AABB
+    # padding), while a masked broadcast-sum materializes an (n, c, k)
+    # temporary; HIGHEST keeps f32 accuracy at MXU speed with an (n, c)
+    # footprint
+    onehot = (
+        idx[:, None] == jnp.arange(c, dtype=idx.dtype)[None, :]
+    ).astype(jnp.float32)
+    flat = arr.reshape(c, -1).astype(jnp.float32)
+    out = jnp.dot(
+        onehot, flat,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out = out.reshape((idx.shape[0],) + arr.shape[1:])
+    if arr.dtype == jnp.bool_:
+        return out > 0.5
+    if jnp.issubdtype(arr.dtype, jnp.integer):
+        return jnp.round(out).astype(arr.dtype)
+    return out.astype(arr.dtype)
 
 
 def node_importance(point, normal, idx, bvh) -> jax.Array:

@@ -56,6 +56,36 @@ def _fetch_atlas(atlas: jax.Array, t: jax.Array, u: jax.Array, v: jax.Array):
     return jnp.take(flat, idx, axis=0)
 
 
+# Per-face constants packed into one (6, 29) matrix so the whole face-state
+# fetch is a single one-hot matmul on the MXU instead of seven scalar-looped
+# table gathers (TPU random access runs ~8 ns/element; see probe notes):
+# columns = [cu(4) | cv(4) | normal(3) | tan0(3) | tan1(3) | bit0(3) |
+#            bit1(3) | a_axis_onehot(3) | b_axis_onehot(3)]
+def _face_const_matrix() -> np.ndarray:
+    a_oh = np.zeros((6, 3), np.float32)
+    b_oh = np.zeros((6, 3), np.float32)
+    for f in range(6):
+        a_oh[f, dda.FACE_PLANE_AXES[f, 0]] = 1.0
+        b_oh[f, dda.FACE_PLANE_AXES[f, 1]] = 1.0
+    return np.concatenate(
+        [
+            dda.FACE_U_AFFINE,
+            dda.FACE_V_AFFINE,
+            dda.FACE_NORMALS,
+            dda.FACE_TANGENTS[:, 0],
+            dda.FACE_TANGENTS[:, 1],
+            dda.FACE_BITANGENTS[:, 0],
+            dda.FACE_BITANGENTS[:, 1],
+            a_oh,
+            b_oh,
+        ],
+        axis=1,
+    ).astype(np.float32)
+
+
+_FACE_CONST = _face_const_matrix()
+
+
 def do_bounce(
     origin: jax.Array,
     direction: jax.Array,
@@ -101,20 +131,30 @@ def do_bounce(
     face = tr.face
     frac = hit_p - tr.cell.astype(f32)
 
+    # single one-hot matmul fetches all per-face constants (see _FACE_CONST)
+    face_oh = (face[:, None] == jnp.arange(6)[None, :]).astype(f32)
+    # HIGHEST precision: default TPU matmuls round inputs to bf16, which
+    # would perturb the tangent-frame constants (1/sqrt2 etc.)
+    fc = jnp.dot(
+        face_oh, jnp.asarray(_FACE_CONST),
+        preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
+    )
+    cu, cv = fc[:, 0:4], fc[:, 4:8]
+    normal = fc[:, 8:11]
+    tan0, tan1 = fc[:, 11:14], fc[:, 14:17]
+    bit0, bit1 = fc[:, 17:20], fc[:, 20:23]
+    a_oh, b_oh = fc[:, 23:26], fc[:, 26:29]
+
     # uv from per-face affine tables (chunk.rs:211-275 vertex uv tables)
-    cu = jnp.asarray(dda.FACE_U_AFFINE)[face]
-    cv = jnp.asarray(dda.FACE_V_AFFINE)[face]
     u = cu[:, 0] + (cu[:, 1:] * frac).sum(-1)
     v = cv[:, 0] + (cv[:, 1:] * frac).sum(-1)
 
     # tangent frame: triangle picked by the quad diagonal in in-plane coords
-    plane_axes = jnp.asarray(dda.FACE_PLANE_AXES)[face]
-    fa = jnp.take_along_axis(frac, plane_axes[:, 0:1], axis=-1)[:, 0]
-    fb = jnp.take_along_axis(frac, plane_axes[:, 1:2], axis=-1)[:, 0]
-    tri_id = (fa + fb > 1.0).astype(jnp.int32)
-    normal = jnp.asarray(dda.FACE_NORMALS)[face]
-    tangent = jnp.asarray(dda.FACE_TANGENTS)[face, tri_id]
-    bitangent = jnp.asarray(dda.FACE_BITANGENTS)[face, tri_id]
+    fa = (frac * a_oh).sum(-1)
+    fb = (frac * b_oh).sum(-1)
+    tri1_sel = (fa + fb > 1.0)[:, None]
+    tangent = jnp.where(tri1_sel, tan1, tan0)
+    bitangent = jnp.where(tri1_sel, bit1, bit0)
 
     t_mat = tr.block.astype(jnp.int32) * 6 + face
     new_origin = hit_p
@@ -122,9 +162,9 @@ def do_bounce(
     if inst_hit is not None:
         # instance shading source: triangle-derived frame + interpolated uv
         # (pathtrace_shader.rs:716-742)
-        tri_i = jnp.take(inst["tri"], inst_hit.prim, axis=0)       # (n, 3, 3)
-        uv_i = jnp.take(inst["uv"], inst_hit.prim, axis=0)         # (n, 3, 2)
-        tmat_i = jnp.take(inst["t"], inst_hit.prim, axis=0).astype(jnp.int32)
+        tri_i = nee._gather(inst["tri"], inst_hit.prim)            # (n, 3, 3)
+        uv_i = nee._gather(inst["uv"], inst_hit.prim)              # (n, 3, 2)
+        tmat_i = nee._gather(inst["t"], inst_hit.prim).astype(jnp.int32)
         bu, bv = inst_hit.bary[:, 0], inst_hit.bary[:, 1]
         bary3 = jnp.stack([1.0 - bu - bv, bu, bv], axis=-1)        # (n, 3)
         uv_interp = (bary3[..., None] * uv_i).sum(1)               # (n, 2)
@@ -151,9 +191,15 @@ def do_bounce(
         t_mat = jnp.where(use_inst, tmat_i, t_mat)
         new_origin = jnp.where(m, p_i, new_origin)
 
-    tex0 = _fetch_atlas(materials["reflectivity"], t_mat, u, v)
-    tex1 = _fetch_atlas(materials["emissivity"], t_mat, u, v)
-    tex2 = _fetch_atlas(materials["metallicity"], t_mat, u, v)
+    if "packed" in materials:
+        # one 8-wide row gather instead of three (rows cost the same as
+        # single elements on TPU; tools/probe_tpu.py)
+        tex = _fetch_atlas(materials["packed"], t_mat, u, v)
+        tex0, tex1, tex2 = tex[:, :4], tex[:, 4:7], tex[:, 7:8]
+    else:
+        tex0 = _fetch_atlas(materials["reflectivity"], t_mat, u, v)
+        tex1 = _fetch_atlas(materials["emissivity"], t_mat, u, v)
+        tex2 = _fetch_atlas(materials["metallicity"], t_mat, u, v)
 
     reflectivity = tex0[:, :3]
     alpha = tex0[:, 3]
@@ -185,7 +231,7 @@ def do_bounce(
             jnp.clip(res.importance / nee_importance_scale, 0.0, nee_mis_clamp),
             0.0,
         )
-        tri_light = jnp.take(bvh["tri"], res.leaf_idx, axis=0)
+        tri_light = nee._gather(bvh["tri"], res.leaf_idx)
         vt = split_into_visible_triangles(new_origin, normal, tri_light)
 
         mis_rand = rng.draw(seed, 3)

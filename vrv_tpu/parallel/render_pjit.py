@@ -31,6 +31,7 @@ def render_frame_sharded(
     bvh: Optional[dict],
     bvh_max_depth: int,
     dist: Optional[jax.Array],
+    rows: Optional[jax.Array],
     eye: jax.Array,
     front: jax.Array,
     right: jax.Array,
@@ -48,11 +49,11 @@ def render_frame_sharded(
 
     replicated = P()
 
-    def shard_body(grid, translucent, materials, bvh, dist, eye, front, right, up, frame):
+    def shard_body(grid, translucent, materials, bvh, dist, rows, eye, front, right, up, frame):
         s_idx = jax.lax.axis_index("samples")
         r_idx = jax.lax.axis_index("rows")
         samples = megakernel.render_samples(
-            grid, translucent, materials, bvh, bvh_max_depth, dist, None,
+            grid, translucent, materials, bvh, bvh_max_depth, dist, None, rows,
             eye, front, right, up, frame, cfg,
             y0=r_idx * local_h, local_height=local_h,
             s0=s_idx * local_spp, local_spp=local_spp,
@@ -65,21 +66,21 @@ def render_frame_sharded(
     fn = shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(replicated,) * 10,
+        in_specs=(replicated,) * 11,
         out_specs=P("samples", "rows", None, None),
         check_rep=False,
     )
-    out = fn(grid, translucent, materials, bvh, dist, eye, front, right, up, frame)
+    out = fn(grid, translucent, materials, bvh, dist, rows, eye, front, right, up, frame)
     # every samples-shard holds the same merged rows; take shard 0
     return out[0]
 
 
 @functools.lru_cache(maxsize=16)
 def jit_render_sharded(mesh: Mesh, cfg: RenderConfig, bvh_max_depth: int, has_lights: bool):
-    def fn(grid, translucent, materials, bvh, dist, eye, front, right, up, frame):
+    def fn(grid, translucent, materials, bvh, dist, rows, eye, front, right, up, frame):
         return render_frame_sharded(
             mesh, grid, translucent, materials,
-            bvh if has_lights else None, bvh_max_depth, dist,
+            bvh if has_lights else None, bvh_max_depth, dist, rows,
             eye, front, right, up, frame, cfg,
         )
 

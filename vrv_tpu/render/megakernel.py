@@ -40,6 +40,7 @@ def render_samples(
     bvh_max_depth: int,
     dist: Optional[jax.Array],
     inst: Optional[dict],
+    rows: Optional[jax.Array],
     eye: jax.Array,
     front: jax.Array,
     right: jax.Array,
@@ -79,7 +80,14 @@ def render_samples(
         # the observability the reference's wavefront branch existed for
         # (reference README.md:40-43)
         with jax.named_scope(f"trace_b{bounce}"):
-            if dist is not None:
+            if cfg.tracer == "rows" and rows is not None:
+                from vrv_tpu.ops.dda_rows import trace_rows
+
+                tr = trace_rows(
+                    grid.shape, rows, translucent.shape[0], o, d,
+                    t_min=cfg.t_min, t_max=cfg.t_max,
+                )
+            elif dist is not None and cfg.tracer != "exact":
                 tr = dda.trace_skip(
                     grid, dist, translucent, o, d, t_min=cfg.t_min, t_max=cfg.t_max
                 )
@@ -124,12 +132,12 @@ def pack_bgra(pixel_color: jax.Array) -> jax.Array:
 
 
 def render_frame(
-    grid, translucent, materials, bvh, bvh_max_depth, dist, inst,
+    grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows,
     eye, front, right, up, frame, cfg: RenderConfig,
 ) -> jax.Array:
     """Full frame: average samples, pack BGRA u8 (H, W, 4)."""
     samples = render_samples(
-        grid, translucent, materials, bvh, bvh_max_depth, dist, inst,
+        grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows,
         eye, front, right, up, frame, cfg,
     )
     return pack_bgra(samples.mean(axis=0))

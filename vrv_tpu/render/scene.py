@@ -79,6 +79,17 @@ class Scene:
             "reflectivity": jnp.asarray(self.table.reflectivity),
             "emissivity": jnp.asarray(self.table.emissivity),
             "metallicity": jnp.asarray(self.table.metallicity),
+            # fused 8-channel atlas: refl rgba | emis rgb | metal r
+            "packed": jnp.asarray(
+                np.concatenate(
+                    [
+                        self.table.reflectivity,
+                        self.table.emissivity,
+                        self.table.metallicity,
+                    ],
+                    axis=-1,
+                )
+            ),
         }
         self._emissive_blocks = np.nonzero(
             (self.table.texture_luminances.reshape(self.table.n_blocks, 6) > 0).any(1)
@@ -119,10 +130,15 @@ class Scene:
 
     def _rebuild_dist(self):
         from vrv_tpu.ops.dda import build_distance_field
+        from vrv_tpu.ops.dda_rows import W, pack_rows
 
         self.dist = jax.jit(build_distance_field, static_argnums=(1,))(
             self.grid, int(self.table.air)
         )
+        if self.grid.shape[2] % W == 0:
+            self.rows = jax.jit(pack_rows)(self.grid, self.dist, self.translucent)
+        else:
+            self.rows = None
 
     # ------------------------------------------------------------------
     # light structure
@@ -189,6 +205,7 @@ class Scene:
             self.bvh_device,
             self.dist,
             self.instances_device,
+            self.rows,
             self.camera_to_local(eye),
             jnp.asarray(front, jnp.float32),
             jnp.asarray(right, jnp.float32),
@@ -205,6 +222,7 @@ class Scene:
             self.bvh_device,
             self.dist,
             self.instances_device,
+            self.rows,
             self.camera_to_local(eye),
             jnp.asarray(front, jnp.float32),
             jnp.asarray(right, jnp.float32),
@@ -215,17 +233,17 @@ class Scene:
 
 @functools.lru_cache(maxsize=64)
 def _jit_render(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool):
-    def fn(grid, translucent, materials, bvh, dist, inst, eye, front, right, up, frame):
+    def fn(grid, translucent, materials, bvh, dist, inst, rows, eye, front, right, up, frame):
         if cfg.mode == "wavefront":
             from vrv_tpu.render import wavefront
 
             return wavefront.render_frame_wavefront(
                 grid, translucent, materials, bvh if has_lights else None,
-                bvh_max_depth, dist, inst, eye, front, right, up, frame, cfg,
+                bvh_max_depth, dist, inst, rows, eye, front, right, up, frame, cfg,
             )
         return megakernel.render_frame(
             grid, translucent, materials, bvh if has_lights else None,
-            bvh_max_depth, dist, inst, eye, front, right, up, frame, cfg,
+            bvh_max_depth, dist, inst, rows, eye, front, right, up, frame, cfg,
         )
 
     return jax.jit(fn)
@@ -233,10 +251,10 @@ def _jit_render(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool):
 
 @functools.lru_cache(maxsize=64)
 def _jit_render_samples(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool):
-    def fn(grid, translucent, materials, bvh, dist, inst, eye, front, right, up, frame):
+    def fn(grid, translucent, materials, bvh, dist, inst, rows, eye, front, right, up, frame):
         return megakernel.render_samples(
             grid, translucent, materials, bvh if has_lights else None,
-            bvh_max_depth, dist, inst, eye, front, right, up, frame, cfg,
+            bvh_max_depth, dist, inst, rows, eye, front, right, up, frame, cfg,
         )
 
     return jax.jit(fn)

@@ -50,6 +50,7 @@ def render_samples_wavefront(
     bvh_max_depth: int,
     dist: Optional[jax.Array],
     inst: Optional[dict],
+    rows: Optional[jax.Array],
     eye, front, right, up, frame,
     cfg: RenderConfig,
     with_occupancy: bool = False,
@@ -83,7 +84,14 @@ def render_samples_wavefront(
     def bounce_segment(args):
         """Trace+shade one segment; returns updated segment state."""
         (seg_o, seg_d, seg_seed, seg_T, bounce) = args
-        if dist is not None:
+        if cfg.tracer == "rows" and rows is not None:
+            from vrv_tpu.ops.dda_rows import trace_rows
+
+            tr = trace_rows(
+                grid.shape, rows, translucent.shape[0], seg_o, seg_d,
+                t_min=cfg.t_min, t_max=cfg.t_max,
+            )
+        elif dist is not None and cfg.tracer != "exact":
             tr = dda.trace_skip(
                 grid, dist, translucent, seg_o, seg_d,
                 t_min=cfg.t_min, t_max=cfg.t_max,
@@ -176,11 +184,11 @@ def render_samples_wavefront(
 
 
 def render_frame_wavefront(
-    grid, translucent, materials, bvh, bvh_max_depth, dist, inst,
+    grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows,
     eye, front, right, up, frame, cfg: RenderConfig,
 ) -> jax.Array:
     fb = render_samples_wavefront(
-        grid, translucent, materials, bvh, bvh_max_depth, dist, inst,
+        grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows,
         eye, front, right, up, frame, cfg,
     )
     return pack_bgra(fb / cfg.samples_per_pixel)
