@@ -52,7 +52,8 @@ assert mesh.devices.size == {n}, mesh
 fn = jit_render_sharded(mesh, cfg, scene.bvh_max_depth, True)
 sharded = np.asarray(
     fn(scene.grid, scene.translucent, scene.materials, scene.bvh_device,
-       scene.dist, scene.camera_to_local(eye), front, right, up, jnp.uint32(0))
+       scene.dist, scene.rows, scene.camera_to_local(eye), front, right, up,
+       jnp.uint32(0))
 )
 assert sharded.shape == single.shape
 diff = np.abs(sharded.astype(int) - single.astype(int))

@@ -73,16 +73,41 @@ def _gather(arr, idx):
     return out.astype(arr.dtype)
 
 
-def node_importance(point, normal, idx, bvh) -> jax.Array:
-    """Importance of node `idx` (per ray) from a shading point.
+PACKED_COLS = 25  # is_leaf | left | right | min(3) | max(3) | lum6(6) | tri(9) | lpa
 
-    bvh is a dict of device arrays (see render/scene.py `device_bvh`).
-    """
-    is_leaf = _gather(bvh["is_leaf"], idx)
 
-    # ---- internal-node path (pathtrace_shader.rs:380-456) ----
-    v000 = _gather(bvh["aabb_min"], idx)
-    v111 = _gather(bvh["aabb_max"], idx)
+def pack_nodes(bvh: dict) -> jax.Array:
+    """Concatenate all per-node constants into one (C, 25) f32 matrix so a
+    node fetch is a single one-hot matmul (see _gather)."""
+    c = bvh["is_leaf"].shape[0]
+    return jnp.concatenate(
+        [
+            bvh["is_leaf"].astype(jnp.float32)[:, None],
+            bvh["left"].astype(jnp.float32)[:, None],
+            bvh["right"].astype(jnp.float32)[:, None],
+            bvh["aabb_min"].astype(jnp.float32),
+            bvh["aabb_max"].astype(jnp.float32),
+            bvh["lum6"].astype(jnp.float32),
+            bvh["tri"].reshape(c, 9).astype(jnp.float32),
+            bvh["lpa"].astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+
+
+def _row_tri(row):
+    return row[:, 15:24].reshape(-1, 3, 3)
+
+
+def node_importance_row(point, normal, row) -> jax.Array:
+    """Importance from a pre-fetched packed node row (N, 25)."""
+    is_leaf = row[:, 0] > 0.5
+    v000 = row[:, 3:6]
+    v111 = row[:, 6:9]
+    lum6 = row[:, 9:15]
+    tri = _row_tri(row)
+    lpa = row[:, 24]
+
     x0, y0, z0 = v000[..., 0], v000[..., 1], v000[..., 2]
     x1, y1, z1 = v111[..., 0], v111[..., 1], v111[..., 2]
 
@@ -99,8 +124,6 @@ def node_importance(point, normal, idx, bvh) -> jax.Array:
     diag = v111 - v000
     center = 0.5 * (v000 + v111)
     distance_sq = jnp.maximum(_dot(diag, diag), _dot(center - point, center - point))
-
-    lum6 = _gather(bvh["lum6"], idx)
 
     def rect(a, b, c, d):
         return jnp.stack([a, b, c, d], axis=-2)
@@ -124,8 +147,6 @@ def node_importance(point, normal, idx, bvh) -> jax.Array:
     internal_imp = lum / jnp.maximum(distance_sq, 1e-30)
 
     # ---- leaf path (pathtrace_shader.rs:457-498) ----
-    tri = _gather(bvh["tri"], idx)
-    lpa = _gather(bvh["lpa"], idx)
     vt = split_into_visible_triangles(point, normal, tri)
     c0 = triangle_center(vt.tri0)
     c1 = triangle_center(vt.tri1)
@@ -153,35 +174,56 @@ def node_importance(point, normal, idx, bvh) -> jax.Array:
     return jnp.where(is_leaf, leaf_imp, internal_imp)
 
 
+def node_importance(point, normal, idx, bvh) -> jax.Array:
+    """Importance of node `idx` (per ray); fetch + row math."""
+    packed = bvh.get("packed")
+    if packed is None:
+        packed = pack_nodes(bvh)
+    row = _gather(packed, idx)
+    return node_importance_row(point, normal, row)
+
+
 class TraverseResult(NamedTuple):
     success: jax.Array      # bool
     leaf_idx: jax.Array     # int32 node index of the chosen leaf
     probability: jax.Array  # f32 descent probability
     importance: jax.Array   # f32 importance of the chosen node
+    tri: jax.Array          # (n, 3, 3) chosen leaf triangle (valid iff success)
 
 
 def traverse(point, normal, seed, bvh, max_depth: int) -> TraverseResult:
-    """Stochastic descent (pathtrace_shader.rs:509-580), batch-vectorized."""
+    """Stochastic descent (pathtrace_shader.rs:509-580), batch-vectorized.
+
+    Per level: two packed-row fetches (the children) — everything else is
+    dense math on the carried rows.
+    """
     n = point.shape[0]
+    packed = bvh.get("packed")
+    if packed is None:
+        packed = pack_nodes(bvh)
+
     cur = jnp.zeros(n, jnp.int32)
+    cur_row = jnp.broadcast_to(packed[0], (n, packed.shape[1]))
     prob = jnp.ones(n, jnp.float32)
 
-    root_leaf = bvh["is_leaf"][0]
+    root_leaf = cur_row[:, 0] > 0.5
     # single-light tree: importance evaluated on the root leaf itself,
     # mirroring the reference's "if importance == 0: importance =
     # nodeImportance(root)" on the instance hop (:537-539)
-    imp = jnp.where(root_leaf, node_importance(point, normal, cur, bvh), 0.0)
-    done = jnp.broadcast_to(root_leaf, (n,))
+    imp = jnp.where(root_leaf, node_importance_row(point, normal, cur_row), 0.0)
+    done = root_leaf
     success = done
     failed = jnp.zeros(n, bool)
     seed = jnp.broadcast_to(rng.u32(seed), (n,))
 
     for _ in range(max_depth):
         active = ~done & ~failed
-        li = _gather(bvh["left"], cur)
-        ri = _gather(bvh["right"], cur)
-        imp_l = node_importance(point, normal, li, bvh)
-        imp_r = node_importance(point, normal, ri, bvh)
+        li = cur_row[:, 1].astype(jnp.int32)
+        ri = cur_row[:, 2].astype(jnp.int32)
+        row_l = _gather(packed, li)
+        row_r = _gather(packed, ri)
+        imp_l = node_importance_row(point, normal, row_l)
+        imp_r = node_importance_row(point, normal, row_r)
         total = imp_l + imp_r
         zero_total = total == 0.0
         ln = imp_l / jnp.where(zero_total, 1.0, total)
@@ -190,17 +232,19 @@ def traverse(point, normal, seed, bvh, max_depth: int) -> TraverseResult:
         go_left = r < ln
 
         new_cur = jnp.where(go_left, li, ri)
+        new_row = jnp.where(go_left[:, None], row_l, row_r)
         new_prob = prob * jnp.where(go_left, ln, 1.0 - ln)
         new_imp = jnp.where(go_left, imp_l, imp_r)
 
         newly_failed = active & zero_total
         step = active & ~zero_total
         cur = jnp.where(step, new_cur, cur)
+        cur_row = jnp.where(step[:, None], new_row, cur_row)
         prob = jnp.where(step, new_prob, prob)
         imp = jnp.where(step, new_imp, imp)
         failed = failed | newly_failed
 
-        at_leaf = _gather(bvh["is_leaf"], cur)
+        at_leaf = cur_row[:, 0] > 0.5
         newly_done = step & at_leaf
         success = success | newly_done
         done = done | newly_done
@@ -210,4 +254,5 @@ def traverse(point, normal, seed, bvh, max_depth: int) -> TraverseResult:
         leaf_idx=cur,
         probability=prob,
         importance=jnp.where(failed, 0.0, imp),
+        tri=_row_tri(cur_row),
     )

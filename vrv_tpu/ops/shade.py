@@ -231,7 +231,7 @@ def do_bounce(
             jnp.clip(res.importance / nee_importance_scale, 0.0, nee_mis_clamp),
             0.0,
         )
-        tri_light = nee._gather(bvh["tri"], res.leaf_idx)
+        tri_light = res.tri
         vt = split_into_visible_triangles(new_origin, normal, tri_light)
 
         mis_rand = rng.draw(seed, 3)

@@ -47,7 +47,9 @@ def _set_cell(grid, cell, value):
 def device_bvh(bvh: lb.LightBvh) -> Optional[dict]:
     if not bvh.has_lights:
         return None
-    return {
+    from vrv_tpu.ops.nee import pack_nodes
+
+    dev = {
         "is_leaf": jnp.asarray(bvh.is_leaf),
         "left": jnp.asarray(bvh.left),
         "right": jnp.asarray(bvh.right),
@@ -57,6 +59,8 @@ def device_bvh(bvh: lb.LightBvh) -> Optional[dict]:
         "tri": jnp.asarray(bvh.tri),
         "lpa": jnp.asarray(bvh.lpa),
     }
+    dev["packed"] = pack_nodes(dev)
+    return dev
 
 
 class Scene:
