@@ -63,14 +63,37 @@ def main(argv=None) -> int:
         * render_cfg.samples_per_pixel * render_cfg.max_bounces
     )
 
+    from vrv_tpu.window import make_backend
+
+    backend = make_backend(render_cfg.width, render_cfg.height)
+
     img = None
-    for _ in range(args.frames):
+    accum = None
+    for i in range(args.frames):
+        for ev in backend.poll_events():
+            gw.handle_event(ev)
         img = gw.step()
         img.block_until_ready()
+        if args.progressive:
+            # frame accumulation (the reference's postprocess slot, quirk Q2)
+            frame_f = np.asarray(img)[..., :3].astype(np.float64)
+            accum = frame_f if accum is None else accum + frame_f
+            shown = np.concatenate(
+                [
+                    (accum / (i + 1)).astype(np.uint8),
+                    np.full(frame_f.shape[:2] + (1,), 255, np.uint8),
+                ],
+                axis=-1,
+            )
+        else:
+            shown = np.asarray(img)
+        backend.present(shown)
         meter.frame(rays=rays_per_frame)
+        if not backend.open:
+            break
 
     if args.out and img is not None:
-        save_png(args.out, np.asarray(img))
+        save_png(args.out, shown)
         print(f"wrote {args.out}")
     return 0
 

@@ -428,17 +428,36 @@ def trace_skip(
         cur_rd = (comb >> 8) & 1
         v = comb & 255
         can_skip = s["alive"] & (v >= 3)
-        r = (v - 2).astype(f32)
+        r = (v - 1).astype(f32)
+        ri_ = v - 1  # int radius
 
-        # --- skip branch: advance to the radius-(v-2) box boundary ---
+        # --- skip branch: exact jump to the LAST known-air cell of the
+        # radius-(v-1) safety box. All cells within chebyshev v-1 of the
+        # current cell are air; the ray travels to the box's exit plane
+        # and lands on the box-interior cell touching it (exit axis
+        # advances exactly r cells; other axes floor(p(t)), clamped into
+        # the box — the clamp only matters for fp-exact corner ties and
+        # keeps the landing on known-air cells). The next iteration then
+        # performs the face-tested crossing out of the box.
         fx, fy, fz = scx.astype(f32), scy.astype(f32), scz.astype(f32)
         tbx = jnp.where(bigx, _BIG, jnp.where(dx > 0, (fx + 1.0 + r - ox) * ix, (fx - r - ox) * ix))
         tby = jnp.where(bigy, _BIG, jnp.where(dy > 0, (fy + 1.0 + r - oy) * iy, (fy - r - oy) * iy))
         tbz = jnp.where(bigz, _BIG, jnp.where(dz > 0, (fz + 1.0 + r - oz) * iz, (fz - r - oz) * iz))
-        t_skip = jnp.minimum(jnp.minimum(tbx, tby), tbz) + 1e-4
-        kx = jnp.floor(ox + t_skip * dx).astype(i32)
-        ky = jnp.floor(oy + t_skip * dy).astype(i32)
-        kz = jnp.floor(oz + t_skip * dz).astype(i32)
+        t_skip = jnp.minimum(jnp.minimum(tbx, tby), tbz)
+        ex_x = t_skip == tbx
+        ex_y = (~ex_x) & (t_skip == tby)
+        ex_z = ~(ex_x | ex_y)
+
+        def skip_axis(is_exit, c, o1, d1, sgn_pos):
+            exact = c + jnp.where(sgn_pos, ri_, -ri_)
+            flo = jnp.clip(
+                jnp.floor(o1 + t_skip * d1).astype(i32), c - ri_, c + ri_
+            )
+            return jnp.where(is_exit, exact, flo)
+
+        kx = skip_axis(ex_x, scx, ox, dx, dx > 0)
+        ky = skip_axis(ex_y, scy, oy, dy, dy > 0)
+        kz = skip_axis(ex_z, scz, oz, dz, dz > 0)
         skip_inside = (
             (kx >= 0) & (kx < X) & (ky >= 0) & (ky < Y) & (kz >= 0) & (kz < Z)
         )
