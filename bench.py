@@ -33,7 +33,12 @@ def main() -> int:
 
     g = 128
     wc = WorldConfig(size=(g, g, g), origin=(-g // 2, -g // 2, -g // 2), seed=0)
-    cfg = RenderConfig(width=800, height=600, samples_per_pixel=8, max_bounces=4)
+    # one 8-spp frame = eight 1-spp sample passes accumulated on device —
+    # identical sample count and statistics, but an 8x smaller XLA graph
+    # (this environment's remote-compile tunnel makes giant graphs
+    # prohibitively slow to build)
+    CHUNKS = 8
+    cfg = RenderConfig(width=800, height=600, samples_per_pixel=1, max_bounces=4)
     scene = Scene(wc)
 
     # camera hovering above the terrain looking down at an angle
@@ -47,21 +52,29 @@ def main() -> int:
     up = np.array([0.0, -0.936, -0.35], np.float32)
 
     def run(frame):
-        return scene.render(eye, front, right, up, frame, cfg)
+        from vrv_tpu.render.megakernel import pack_bgra
+
+        acc = None
+        for c in range(CHUNKS):
+            smp = scene.render_samples(
+                eye, front, right, up, frame * CHUNKS + c, cfg
+            ).sum(axis=0)
+            acc = smp if acc is None else acc + smp
+        return pack_bgra(acc / CHUNKS)
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     t0 = time.perf_counter()
-    run(0).block_until_ready()
+    np.asarray(run(0))  # force full materialization (tunnel-safe timing)
     print(f"compile+first frame: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     # timed frames (distinct frame ids = realistic reseeding)
     n = 8
     t0 = time.perf_counter()
     imgs = [run(i + 1) for i in range(n)]
-    imgs[-1].block_until_ready()
+    np.asarray(imgs[-1])
     dt = time.perf_counter() - t0
     fps = n / dt
-    rays = cfg.width * cfg.height * cfg.samples_per_pixel * cfg.max_bounces * fps
+    rays = cfg.width * cfg.height * CHUNKS * cfg.max_bounces * fps
     print(
         f"{fps:.3f} fps  {rays:.3e} paths*bounce/s  frame {dt / n * 1e3:.1f} ms",
         file=sys.stderr,

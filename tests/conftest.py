@@ -18,6 +18,28 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # the image presets axon (TPU tunnel)
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO_ROOT)
 
+# The axon sitecustomize (loaded via PYTHONPATH at interpreter start) routes
+# EVERY XLA compile — even CPU — through a serialized remote-compile tunnel,
+# and pins the PJRT device set before conftest runs. Re-exec once with a
+# cleaned environment (pytest.ini sets -s, so no capture fds are lost).
+if os.environ.get("VRV_TEST_REEXEC") != "1" and "axon_site" in os.environ.get(
+    "PYTHONPATH", ""
+):
+    env = dict(os.environ)
+    env["VRV_TEST_REEXEC"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = ":".join(
+        [REPO_ROOT]
+        + [p for p in env.get("PYTHONPATH", "").split(":") if p and "axon_site" not in p]
+    )
+    flags = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split() if "device_count" not in f
+    )
+    env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402

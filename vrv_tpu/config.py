@@ -43,6 +43,8 @@ class RenderConfig:
     t_max: float = 1000.0
     jitter_scale: float = 0.01
     enable_nee: bool = True       # do_nee flag, pathtrace_shader.rs:924 passes true
+    # per-ray RNG: 'murmur3' (bit-exact with the reference) or 'pcg'
+    rng: str = "murmur3"
     # voxel tracer: 'skip' = per-cell DDA with distance-field skipping
     # (fastest measured on TPU v5e), 'rows' = 32-cell z-row fetches
     # (semantically identical; currently slower — XLA materializes the

@@ -298,6 +298,9 @@ def build_distance_field(grid: jax.Array, air_id: int, cap: int = 15) -> jax.Arr
     return dist
 
 
+TRACE_SEGMENT = 1 << 18  # rays per independent trace segment
+
+
 def trace_skip(
     grid: jax.Array,
     dist: jax.Array,
@@ -309,24 +312,79 @@ def trace_skip(
 ) -> TraceResult:
     """`trace` with distance-field empty-space skipping. Same results.
 
-    The production tracer: tuned for the TPU's cost model, where random
-    access (gather/scatter) runs at scalar-loop rate (~8 ns/element,
-    measured in tools/probe_tpu.py) while vector ALU is ~free. Each DDA
-    step therefore performs exactly ONE gather — a fused int32 word
-    packing block id, translucent/renders flags, and chebyshev skip
-    distance — and every axis selection (argmin, per-axis step, face id)
-    is dense component math instead of take_along_axis/scatter (which
-    also lower to scalar loops).
-
-    Cells with dist >= 3 advance the ray to the boundary of the radius
-    (dist-2) safety box in one step (the -2 margin keeps the landing cell
-    strictly inside the known-empty region, so a 1e-4 nudge cannot skip a
-    renderable cell); cells with dist <= 2 take exact single-cell DDA
-    steps with the full face logic.
+    The production tracer, shaped by the TPU cost model (see docs/PERF.md):
+    one fused int32 gather per DDA step, dense component math for every
+    axis selection, exact radius-(dist-1) skip jumps across known-air
+    boxes — and SEGMENTED execution: large batches are traced in
+    independent 256K-ray segments, each running its own while_loop, so
+    the lockstep tail (a handful of long horizon rays) only prolongs its
+    own segment instead of the whole batch. Ray order is image order, so
+    long rays cluster into few segments.
     """
     shape = origin.shape[:-1]
     o = origin.reshape(-1, 3).astype(jnp.float32)
     d = direction.reshape(-1, 3).astype(jnp.float32)
+    n = o.shape[0]
+    seg = TRACE_SEGMENT
+    if n <= seg + seg // 2:
+        res = _trace_skip_flat(grid, dist, translucent, o, d, t_min, t_max)
+    else:
+        n_pad = (n + seg - 1) // seg * seg
+        pad = n_pad - n
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), jnp.float32)])
+            d = jnp.concatenate([d, jnp.ones((pad, 3), jnp.float32)])
+        out = dict(
+            hit=jnp.zeros(n_pad, bool),
+            t=jnp.zeros(n_pad, jnp.float32),
+            block=jnp.zeros(n_pad, jnp.uint8),
+            face=jnp.zeros(n_pad, jnp.int32),
+            cell=jnp.zeros((n_pad, 3), jnp.int32),
+            entering=jnp.zeros(n_pad, bool),
+        )
+
+        def body(s, out):
+            start = s * seg
+            so = jax.lax.dynamic_slice(o, (start, 0), (seg, 3))
+            sd = jax.lax.dynamic_slice(d, (start, 0), (seg, 3))
+            r = _trace_skip_flat(grid, dist, translucent, so, sd, t_min, t_max)
+            return dict(
+                hit=jax.lax.dynamic_update_slice(out["hit"], r.hit, (start,)),
+                t=jax.lax.dynamic_update_slice(out["t"], r.t, (start,)),
+                block=jax.lax.dynamic_update_slice(out["block"], r.block, (start,)),
+                face=jax.lax.dynamic_update_slice(out["face"], r.face, (start,)),
+                cell=jax.lax.dynamic_update_slice(out["cell"], r.cell, (start, 0)),
+                entering=jax.lax.dynamic_update_slice(
+                    out["entering"], r.entering, (start,)
+                ),
+            )
+
+        out = jax.lax.fori_loop(0, n_pad // seg, body, out)
+        res = TraceResult(
+            hit=out["hit"][:n], t=out["t"][:n], block=out["block"][:n],
+            face=out["face"][:n], cell=out["cell"][:n], entering=out["entering"][:n],
+        )
+    return TraceResult(
+        hit=res.hit.reshape(shape),
+        t=res.t.reshape(shape),
+        block=res.block.reshape(shape),
+        face=res.face.reshape(shape),
+        cell=res.cell.reshape(shape + (3,)),
+        entering=res.entering.reshape(shape),
+    )
+
+
+def _trace_skip_flat(
+    grid: jax.Array,
+    dist: jax.Array,
+    translucent: jax.Array,
+    o: jax.Array,
+    d: jax.Array,
+    t_min: float,
+    t_max: float,
+) -> TraceResult:
+    """One trace segment over flat (n, 3) rays; fields return flat (n,)."""
+    shape = (o.shape[0],)
     f32 = jnp.float32
     i32 = jnp.int32
 

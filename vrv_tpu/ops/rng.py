@@ -72,12 +72,23 @@ def murmur3_finalizef(h) -> jax.Array:
     return float_construct(murmur3_finalize(h))
 
 
-def draw(seed, slot) -> jax.Array:
-    """uniform [0,1) draw keyed by (seed, slot): finalizef(combine(seed, slot)).
+# Draw mode: 'murmur3' reproduces the reference bit-for-bit; 'pcg' is the
+# PCG32-hash alternative (same counter-based calling convention, slightly
+# cheaper, forfeits draw-level parity). Selected per render via
+# RenderConfig.rng — the render jit cache keys on the config, so each mode
+# traces its own program.
+MODE = "murmur3"
 
-    This is the idiom the reference kernel uses for every sample
-    (e.g. pathtrace_shader.rs:758, 819, 822-825, 834-836).
+
+def draw(seed, slot) -> jax.Array:
+    """uniform [0,1) draw keyed by (seed, slot).
+
+    murmur3 mode: finalizef(combine(seed, slot)) — the idiom the reference
+    kernel uses for every sample (e.g. pathtrace_shader.rs:758, 819,
+    822-825, 834-836).
     """
+    if MODE == "pcg":
+        return pcg_draw(seed, slot)
     return murmur3_finalizef(murmur3_combine(seed, slot))
 
 

@@ -235,9 +235,29 @@ class Scene:
         )
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _rng_mode(mode: str):
+    from vrv_tpu.ops import rng as _rng
+
+    prev = _rng.MODE
+    _rng.MODE = mode
+    try:
+        yield
+    finally:
+        _rng.MODE = prev
+
+
 @functools.lru_cache(maxsize=64)
 def _jit_render(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool):
     def fn(grid, translucent, materials, bvh, dist, inst, rows, eye, front, right, up, frame):
+        with _rng_mode(cfg.rng):
+            return _fn_inner(grid, translucent, materials, bvh, dist, inst, rows,
+                             eye, front, right, up, frame)
+
+    def _fn_inner(grid, translucent, materials, bvh, dist, inst, rows, eye, front, right, up, frame):
         if cfg.mode == "wavefront":
             from vrv_tpu.render import wavefront
 
@@ -256,9 +276,10 @@ def _jit_render(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool):
 @functools.lru_cache(maxsize=64)
 def _jit_render_samples(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool):
     def fn(grid, translucent, materials, bvh, dist, inst, rows, eye, front, right, up, frame):
-        return megakernel.render_samples(
-            grid, translucent, materials, bvh if has_lights else None,
-            bvh_max_depth, dist, inst, rows, eye, front, right, up, frame, cfg,
-        )
+        with _rng_mode(cfg.rng):
+            return megakernel.render_samples(
+                grid, translucent, materials, bvh if has_lights else None,
+                bvh_max_depth, dist, inst, rows, eye, front, right, up, frame, cfg,
+            )
 
     return jax.jit(fn)
