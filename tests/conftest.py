@@ -45,7 +45,11 @@ import pytest  # noqa: E402
 import jax  # noqa: E402
 
 # persistent compile cache: compiles dominate wall-clock on this 1-core host
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
+# separate cache from TPU/tunnel runs: remotely-compiled CPU AOT entries
+# target different machine features and can SIGILL if loaded locally
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_local")
+)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
