@@ -24,11 +24,12 @@ from vrv_tpu.utils.profiling import FrameMeter
 from vrv_tpu.utils.geometry import unitcube
 
 
-def build_world(render_cfg, world_cfg) -> w.GameWorld:
+def build_world(render_cfg, world_cfg, streaming: bool = False) -> w.GameWorld:
     """main.rs:27-157 analog: scene + ego entity."""
     scene = Scene(world_cfg)
     gw = w.GameWorld(
-        scene, render_cfg=render_cfg, extent=(render_cfg.width, render_cfg.height)
+        scene, render_cfg=render_cfg,
+        extent=(render_cfg.width, render_cfg.height), streaming=streaming,
     )
     gw.add_entity(
         0,
@@ -56,7 +57,7 @@ def main(argv=None) -> int:
           f"{render_cfg.samples_per_pixel}spp/{render_cfg.max_bounces}b "
           f"mode={render_cfg.mode}")
 
-    gw = build_world(render_cfg, world_cfg)
+    gw = build_world(render_cfg, world_cfg, streaming=args.infinite)
     meter = FrameMeter()
     rays_per_frame = (
         render_cfg.width * render_cfg.height

@@ -124,6 +124,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", type=str, default=None, help="PNG output path")
     p.add_argument("--no-nee", action="store_true")
     p.add_argument("--progressive", action="store_true")
+    p.add_argument("--infinite", action="store_true",
+                   help="streaming world: the window recenters on the ego")
     return p
 
 

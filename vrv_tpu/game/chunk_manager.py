@@ -156,8 +156,43 @@ class ChunkManager(Manager):
         self.chunks: Dict[Tuple[int, int, int], ChunkRecord] = {}
         self.tick = 0
         self.cfg = scene.world_cfg
+        self._assembled_at = -1
         if self.generate:
-            self.set_center_chunk(self.center_chunk)
+            # seed the streaming window from the scene's pre-generated grid
+            self._adopt_scene_grid()
+            cc, _ = chunklib.global_to_chunk_coords(
+                chunklib.floor_coords(
+                    self.scene.origin + np.asarray(self.scene.grid.shape) / 2
+                )
+            )
+            self.set_center_chunk(cc)
+
+    def _adopt_scene_grid(self) -> None:
+        """Split the scene's dense grid into chunk records (so worldgen isn't
+        recomputed for already-materialized blocks, preserving edits)."""
+        grid = np.asarray(self.scene.grid)
+        org = self.scene.origin.astype(np.int64)
+        cs = np.asarray(chunklib.CHUNK_SHAPE, np.int64)
+        if (org % cs != 0).any() or (np.asarray(grid.shape) % cs != 0).any():
+            return  # window not chunk-aligned; records fill lazily instead
+        self.tick += 1
+        n = np.asarray(grid.shape) // cs
+        base_chunk = org // cs
+        for ix in range(n[0]):
+            for iy in range(n[1]):
+                for iz in range(n[2]):
+                    key = tuple(base_chunk + np.array([ix, iy, iz]))
+                    rec = ChunkRecord(
+                        data=grid[
+                            ix * cs[0]: (ix + 1) * cs[0],
+                            iy * cs[1]: (iy + 1) * cs[1],
+                            iz * cs[2]: (iz + 1) * cs[2],
+                        ].copy(),
+                    )
+                    rec.data_started_generating = self.tick
+                    rec.data_set_at = self.tick
+                    rec.synced_at = self.tick
+                    self.chunks[key] = rec
 
     # -- state machine (chunk_manager.rs:97-163) --
 
@@ -203,6 +238,7 @@ class ChunkManager(Manager):
                 self.set_block(ch.global_coords, ch.block_id)
 
         # recenter on the ego (chunk_manager.rs:528-540)
+        recentered = False
         ego = data.entities.get(data.ego_entity_id)
         if ego is not None and self.generate:
             cc, _ = chunklib.global_to_chunk_coords(
@@ -210,27 +246,59 @@ class ChunkManager(Manager):
             )
             if (cc != self.center_chunk).any():
                 self.set_center_chunk(cc)
+                recentered = True
 
         if self.generate:
-            self._update_chunks()
+            self._update_chunks(move_window=recentered)
         return []
 
-    def _update_chunks(self) -> None:
+    def _update_chunks(self, move_window: bool = False) -> None:
         self.tick += 1
         budget = self.budget
         for key in list(self.chunks.keys()):
             if not self.chunk_should_be_loaded(key):
                 del self.chunks[key]
                 continue
+        # generate nearest-first (the reference generates the whole radius
+        # asynchronously; budgeted synchronous generation keeps frames smooth)
+        pending = [
+            k for k, r in self.chunks.items()
+            if r.data is None and r.data_started_generating is None
+        ]
+        pending.sort(key=lambda k: np.abs(np.asarray(k) - self.center_chunk).sum())
+        for key in pending[: max(budget, 0)]:
             rec = self.chunks[key]
-            if rec.data is None and rec.data_started_generating is None and budget > 0:
-                rec.data_started_generating = self.tick
-                rec.data = chunklib.generate_chunk(self.cfg, self.scene.table, key)
-                rec.data_set_at = self.tick
-                budget -= 1
+            rec.data_started_generating = self.tick
+            rec.data = chunklib.generate_chunk(self.cfg, self.scene.table, key)
+            rec.data_set_at = self.tick
+
+        if move_window:
+            self._assemble_window()
+            return
+        for key, rec in self.chunks.items():
             if rec.data is not None and rec.data_set_at is not None:
                 if rec.synced_at is None or rec.data_set_at > rec.synced_at:
                     self._sync_chunk_into_grid(key, rec)
+
+    def _assemble_window(self) -> None:
+        """Rebuild the scene's dense window centred on the current chunk
+        (the streaming-world recenter: the reference's chunk load/unload,
+        chunk_manager.rs:97-119, expressed as one window swap)."""
+        cs = np.asarray(chunklib.CHUNK_SHAPE, np.int64)
+        size = np.asarray(self.scene.grid.shape, np.int64)
+        n = size // cs
+        base_chunk = self.center_chunk - n // 2
+        origin = base_chunk * cs
+        grid = np.full(tuple(size), self.scene.table.air, np.uint8)
+        for off in itertools.product(range(n[0]), range(n[1]), range(n[2])):
+            key = tuple(base_chunk + np.asarray(off))
+            rec = self.chunks.get(key)
+            if rec is None or rec.data is None:
+                continue
+            ox, oy, oz = np.asarray(off) * cs
+            grid[ox: ox + cs[0], oy: oy + cs[1], oz: oz + cs[2]] = rec.data
+            rec.synced_at = self.tick
+        self.scene.set_grid(grid, origin)
 
     # -- edits (chunk_manager.rs:331-392) --
 

@@ -206,6 +206,7 @@ class GameWorld:
         sim_cfg: Optional[SimConfig] = None,
         extent: Tuple[int, int] = (800, 600),
         clock: Callable[[], float] = time.monotonic,
+        streaming: bool = False,
     ):
         from vrv_tpu.game.chunk_manager import ChunkManager, ChunkQuerier
         from vrv_tpu.game.ego import EgoControlsManager
@@ -227,7 +228,7 @@ class GameWorld:
         self.last_frame: Optional[np.ndarray] = None
         self.frame_stats: Dict[str, float] = {}
 
-        chunk_manager = ChunkManager(scene)
+        chunk_manager = ChunkManager(scene, generate=streaming)
         self.chunk_querier = ChunkQuerier(scene)
         physics_manager = PhysicsManager(scene, self.sim_cfg)
         ego_manager = EgoControlsManager(

@@ -177,6 +177,18 @@ class Scene:
             return None
         return int(np.asarray(self.grid[tuple(cell)]))
 
+    def set_grid(self, grid: np.ndarray, origin) -> None:
+        """Replace the whole window (streaming-world recenter): new block
+        array + world origin, with every derived structure rebuilt once."""
+        self.grid = jnp.asarray(grid, jnp.uint8)
+        self.origin = np.asarray(origin, np.float32)
+        self.world_cfg = self.world_cfg.replace(
+            origin=tuple(int(x) for x in origin)
+        )
+        self.tlas_rebuilds += 1
+        self._rebuild_dist()
+        self._rebuild_lights()
+
     def set_block(self, global_coords, block_id: int) -> bool:
         """Functional grid edit; returns False if outside the world."""
         cell = np.asarray(global_coords, np.int64) - self.origin.astype(np.int64)
