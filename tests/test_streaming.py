@@ -14,9 +14,8 @@ from vrv_tpu.utils.geometry import unitcube
 
 
 def _streaming_world(block_table, size=64):
-    cfg = WorldConfig(size=(size, 32, size), origin=(-size // 2, -32 // 2 - 16, -size // 2))
-    # chunk-aligned origin: (-32, -32, -32)
-    cfg = WorldConfig(size=(size, 32, size), origin=(-size // 2, -32, -size // 2))
+    # chunk-aligned origin; y window [0, 32) covers the ego/edit heights
+    cfg = WorldConfig(size=(size, 32, size), origin=(-size // 2, 0, -size // 2))
     scene = Scene(cfg, table=block_table)
     gw = w.GameWorld(
         scene, extent=(32, 24), streaming=True,
