@@ -298,7 +298,10 @@ def build_distance_field(grid: jax.Array, air_id: int, cap: int = 15) -> jax.Arr
     return dist
 
 
-TRACE_SEGMENT = 1 << 18  # rays per independent trace segment
+import os as _os
+
+TRACE_COMPACT_K = int(_os.environ.get("VRV_TRACE_K", 12))       # full-batch iters
+TRACE_COMPACT_CAP = int(_os.environ.get("VRV_TRACE_CAP", 1 << 16))  # tail width
 
 
 def trace_skip(
@@ -312,84 +315,105 @@ def trace_skip(
 ) -> TraceResult:
     """`trace` with distance-field empty-space skipping. Same results.
 
-    The production tracer, shaped by the TPU cost model (see docs/PERF.md):
+    The production tracer, shaped by the TPU cost model (docs/PERF.md):
     one fused int32 gather per DDA step, dense component math for every
     axis selection, exact radius-(dist-1) skip jumps across known-air
-    boxes — and SEGMENTED execution: large batches are traced in
-    independent 256K-ray segments, each running its own while_loop, so
-    the lockstep tail (a handful of long horizon rays) only prolongs its
-    own segment instead of the whole batch. Ray order is image order, so
-    long rays cluster into few segments.
+    boxes — and TAIL COMPACTION: after TRACE_COMPACT_K full-batch
+    iterations (which resolve the vast majority of rays), the few
+    still-marching rays are sorted to a bounded prefix and finish in a
+    narrow loop, so the lockstep batch no longer pays ~max-steps x
+    batch-width for a handful of long horizon/tunnel rays.
     """
     shape = origin.shape[:-1]
     o = origin.reshape(-1, 3).astype(jnp.float32)
     d = direction.reshape(-1, 3).astype(jnp.float32)
     n = o.shape[0]
-    seg = TRACE_SEGMENT
-    if n <= seg + seg // 2:
-        res = _trace_skip_flat(grid, dist, translucent, o, d, t_min, t_max)
-    else:
-        n_pad = (n + seg - 1) // seg * seg
-        pad = n_pad - n
-        if pad:
-            o = jnp.concatenate([o, jnp.zeros((pad, 3), jnp.float32)])
-            d = jnp.concatenate([d, jnp.ones((pad, 3), jnp.float32)])
-        out = dict(
-            hit=jnp.zeros(n_pad, bool),
-            t=jnp.zeros(n_pad, jnp.float32),
-            block=jnp.zeros(n_pad, jnp.uint8),
-            face=jnp.zeros(n_pad, jnp.int32),
-            cell=jnp.zeros((n_pad, 3), jnp.int32),
-            entering=jnp.zeros(n_pad, bool),
-        )
 
-        def body(s, out):
-            start = s * seg
-            so = jax.lax.dynamic_slice(o, (start, 0), (seg, 3))
-            sd = jax.lax.dynamic_slice(d, (start, 0), (seg, 3))
-            r = _trace_skip_flat(grid, dist, translucent, so, sd, t_min, t_max)
-            return dict(
-                hit=jax.lax.dynamic_update_slice(out["hit"], r.hit, (start,)),
-                t=jax.lax.dynamic_update_slice(out["t"], r.t, (start,)),
-                block=jax.lax.dynamic_update_slice(out["block"], r.block, (start,)),
-                face=jax.lax.dynamic_update_slice(out["face"], r.face, (start,)),
-                cell=jax.lax.dynamic_update_slice(out["cell"], r.cell, (start, 0)),
-                entering=jax.lax.dynamic_update_slice(
-                    out["entering"], r.entering, (start,)
-                ),
-            )
+    h = _trace_setup(grid, dist, translucent, o, d, t_min, t_max)
+    state = _trace_init(h)
+    body = _trace_body(h)
+    max_steps = h["max_steps"]
 
-        out = jax.lax.fori_loop(0, n_pad // seg, body, out)
-        res = TraceResult(
-            hit=out["hit"][:n], t=out["t"][:n], block=out["block"][:n],
-            face=out["face"][:n], cell=out["cell"][:n], entering=out["entering"][:n],
-        )
+    def cond_all(s):
+        return (s["steps"] < max_steps) & s["alive"].any()
+
+    if n <= TRACE_COMPACT_CAP:
+        s = jax.lax.while_loop(cond_all, body, state)
+        return _trace_result(s, shape)
+
+    # ---- phase 1: full batch until the alive set fits the tail cap ----
+    cap = TRACE_COMPACT_CAP
+
+    def cond_p1(s):
+        alive = s["alive"]
+        more = (s["steps"] < TRACE_COMPACT_K) | (alive.sum() > cap)
+        return (s["steps"] < max_steps) & alive.any() & more
+
+    s1 = jax.lax.while_loop(cond_p1, body, state)
+
+    # ---- compact: sort alive rays to the front (stable), slice the cap ----
+    i32 = jnp.int32
+    key = (~s1["alive"]).astype(i32)
+    ids = jnp.arange(n, dtype=i32)
+    cellpack = (s1["cx"] << 20) | (s1["cy"] << 10) | s1["cz"]
+    sorted_ops = jax.lax.sort(
+        (key, ids, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         cellpack, s1["comb"]),
+        num_keys=1,
+        is_stable=True,
+    )
+    (_, s_ids, sox, soy, soz, sdx, sdy, sdz, s_cellpack, s_comb) = [
+        op[:cap] for op in sorted_ops
+    ]
+    was_alive = jnp.take(s1["alive"], s_ids, axis=0)
+
+    # ---- phase 2: narrow loop over the compacted tail ----
+    o2 = jnp.stack([sox, soy, soz], axis=-1)
+    d2 = jnp.stack([sdx, sdy, sdz], axis=-1)
+    h2 = _trace_setup(grid, dist, translucent, o2, d2, t_min, t_max)
+    air8 = jnp.uint8(translucent.shape[0] - 1)
+    state2 = dict(
+        alive=was_alive,
+        cx=(s_cellpack >> 20) & 1023,
+        cy=(s_cellpack >> 10) & 1023,
+        cz=s_cellpack & 1023,
+        comb=s_comb,
+        hit=jnp.zeros(cap, bool),
+        t=jnp.zeros(cap, jnp.float32),
+        block=jnp.full(cap, air8),
+        face=jnp.zeros(cap, i32),
+        hx=jnp.zeros(cap, i32),
+        hy=jnp.zeros(cap, i32),
+        hz=jnp.zeros(cap, i32),
+        entering=jnp.zeros(cap, bool),
+        steps=s1["steps"],
+    )
+    body2 = _trace_body(h2)
+    s2 = jax.lax.while_loop(cond_all, body2, state2)
+
+    # ---- scatter tail results back (only rays that entered phase 2) ----
+    dest = jnp.where(was_alive, s_ids, i32(n))
+    out = dict(s1)
+    for f in ("hit", "t", "block", "face", "hx", "hy", "hz", "entering"):
+        out[f] = out[f].at[dest].set(s2[f], mode="drop")
+    return _trace_result(out, shape)
+
+
+def _trace_result(s, shape) -> TraceResult:
+    cell = jnp.stack([s["hx"], s["hy"], s["hz"]], axis=-1).reshape(shape + (3,))
     return TraceResult(
-        hit=res.hit.reshape(shape),
-        t=res.t.reshape(shape),
-        block=res.block.reshape(shape),
-        face=res.face.reshape(shape),
-        cell=res.cell.reshape(shape + (3,)),
-        entering=res.entering.reshape(shape),
+        hit=s["hit"].reshape(shape),
+        t=s["t"].reshape(shape),
+        block=s["block"].reshape(shape),
+        face=s["face"].reshape(shape),
+        cell=cell,
+        entering=s["entering"].reshape(shape),
     )
 
 
-def _trace_skip_flat(
-    grid: jax.Array,
-    dist: jax.Array,
-    translucent: jax.Array,
-    o: jax.Array,
-    d: jax.Array,
-    t_min: float,
-    t_max: float,
-) -> TraceResult:
-    """One trace segment over flat (n, 3) rays; fields return flat (n,)."""
-    shape = (o.shape[0],)
+def _trace_setup(grid, dist, translucent, o, d, t_min, t_max) -> dict:
+    """Precompute everything the DDA stepper closes over (flat (n,3) rays)."""
     f32 = jnp.float32
-    i32 = jnp.int32
-
-    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
-    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
     X, Y, Z = grid.shape
     air = int(translucent.shape[0] - 1)
 
@@ -403,6 +427,16 @@ def _trace_skip_flat(
     )
     outside_comb = jnp.int32((air << 16) | (1 << 9) | 255)
 
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    tiny = 1e-12
+    bigx = jnp.abs(dx) < tiny
+    bigy = jnp.abs(dy) < tiny
+    bigz = jnp.abs(dz) < tiny
+    ix = 1.0 / jnp.where(bigx, f32(tiny), dx)
+    iy = 1.0 / jnp.where(bigy, f32(tiny), dy)
+    iz = 1.0 / jnp.where(bigz, f32(tiny), dz)
+
     def lookup(cx, cy, cz, inside):
         fx = jnp.clip(cx, 0, X - 1)
         fy = jnp.clip(cy, 0, Y - 1)
@@ -411,22 +445,32 @@ def _trace_skip_flat(
         got = jnp.take(flat_comb, flat, axis=0)
         return jnp.where(inside, got, outside_comb)
 
-    tiny = 1e-12
-    dxs = jnp.where(jnp.abs(dx) < tiny, f32(tiny), dx)
-    dys = jnp.where(jnp.abs(dy) < tiny, f32(tiny), dy)
-    dzs = jnp.where(jnp.abs(dz) < tiny, f32(tiny), dz)
-    ix, iy, iz = 1.0 / dxs, 1.0 / dys, 1.0 / dzs
-    bigx = jnp.abs(dx) < tiny
-    bigy = jnp.abs(dy) < tiny
-    bigz = jnp.abs(dz) < tiny
+    return dict(
+        X=X, Y=Y, Z=Z, air=air, t_min=t_min, t_max=t_max,
+        lookup=lookup,
+        o=(ox, oy, oz), d=(dx, dy, dz), inv=(ix, iy, iz),
+        big=(bigx, bigy, bigz),
+        max_steps=int(X + Y + Z + 3),
+    )
 
-    # slab clip, componentwise
+
+def _trace_init(h) -> dict:
+    """Initial state: slab clip + boundary-entry hit (flat batch)."""
+    f32 = jnp.float32
+    i32 = jnp.int32
+    ox, oy, oz = h["o"]
+    dx, dy, dz = h["d"]
+    ix, iy, iz = h["inv"]
+    bigx, bigy, bigz = h["big"]
+    X, Y, Z = h["X"], h["Y"], h["Z"]
+    t_min, t_max = h["t_min"], h["t_max"]
+    air8 = jnp.uint8(h["air"])
+
     def slab(o1, inv, big, size):
         lo = (0.0 - o1) * inv
         hi = (size - o1) * inv
         tn = jnp.minimum(lo, hi)
         tf = jnp.maximum(lo, hi)
-        # degenerate axis: inside -> (-inf, inf), outside -> (inf, -inf)
         inside1 = (o1 >= 0.0) & (o1 <= size)
         tn = jnp.where(big, jnp.where(inside1, -_BIG, _BIG), tn)
         tf = jnp.where(big, jnp.where(inside1, _BIG, -_BIG), tf)
@@ -437,19 +481,23 @@ def _trace_skip_flat(
     tnz, tfz = slab(oz, iz, bigz, f32(Z))
     t_enter = jnp.maximum(jnp.maximum(tnx, tny), tnz)
     t_exit = jnp.minimum(jnp.minimum(tfx, tfy), tfz)
-    # entry axis + its direction sign (dense selects)
     enter_is_x = t_enter == tnx
     enter_is_y = (~enter_is_x) & (t_enter == tny)
     enter_axis = jnp.where(enter_is_x, 0, jnp.where(enter_is_y, 1, 2))
     d_enter = jnp.where(enter_is_x, dx, jnp.where(enter_is_y, dy, dz))
 
     t0 = jnp.maximum(t_enter, f32(t_min))
-    valid = (t0 <= t_exit) & (t0 <= t_max)
+    # zero-direction rays (terminated paths feed d = 0 into later bounces)
+    # must be invalid outright: inside the grid they would otherwise sit in
+    # the skip branch making no progress for max_steps iterations — this
+    # single mask was worth ~60x on 4-bounce frames (docs/PERF.md)
+    degenerate = bigx & bigy & bigz
+    valid = (t0 <= t_exit) & (t0 <= t_max) & ~degenerate
 
     cx = jnp.clip(jnp.floor(ox + t0 * dx).astype(i32), 0, X - 1)
     cy = jnp.clip(jnp.floor(oy + t0 * dy).astype(i32), 0, Y - 1)
     cz = jnp.clip(jnp.floor(oz + t0 * dz).astype(i32), 0, Z - 1)
-    cur_comb = lookup(cx, cy, cz, valid)
+    cur_comb = h["lookup"](cx, cy, cz, valid)
     cur_renders = (cur_comb >> 8) & 1
 
     starts_outside = t_enter > t_min
@@ -459,13 +507,13 @@ def _trace_skip_flat(
         & (t_enter >= t_min) & (t_enter <= t_max)
     )
 
-    state = dict(
+    return dict(
         alive=valid & ~hit0,
         cx=cx, cy=cy, cz=cz,
         comb=cur_comb,
         hit=hit0,
         t=jnp.where(hit0, t_enter, f32(0.0)),
-        block=jnp.where(hit0, (cur_comb >> 16).astype(jnp.uint8), jnp.uint8(air)),
+        block=jnp.where(hit0, (cur_comb >> 16).astype(jnp.uint8), air8),
         face=jnp.where(hit0, entry_face.astype(i32), 0),
         hx=jnp.where(hit0, cx, 0),
         hy=jnp.where(hit0, cy, 0),
@@ -474,10 +522,18 @@ def _trace_skip_flat(
         steps=jnp.int32(0),
     )
 
-    max_steps = int(X + Y + Z + 3)
 
-    def cond(s):
-        return (s["steps"] < max_steps) & s["alive"].any()
+def _trace_body(h):
+    """One DDA step (skip-jump or exact crossing) as a while_loop body."""
+    f32 = jnp.float32
+    i32 = jnp.int32
+    ox, oy, oz = h["o"]
+    dx, dy, dz = h["d"]
+    ix, iy, iz = h["inv"]
+    bigx, bigy, bigz = h["big"]
+    X, Y, Z = h["X"], h["Y"], h["Z"]
+    t_min, t_max = h["t_min"], h["t_max"]
+    lookup = h["lookup"]
 
     def body(s):
         scx, scy, scz = s["cx"], s["cy"], s["cz"]
@@ -490,13 +546,7 @@ def _trace_skip_flat(
         ri_ = v - 1  # int radius
 
         # --- skip branch: exact jump to the LAST known-air cell of the
-        # radius-(v-1) safety box. All cells within chebyshev v-1 of the
-        # current cell are air; the ray travels to the box's exit plane
-        # and lands on the box-interior cell touching it (exit axis
-        # advances exactly r cells; other axes floor(p(t)), clamped into
-        # the box — the clamp only matters for fp-exact corner ties and
-        # keeps the landing on known-air cells). The next iteration then
-        # performs the face-tested crossing out of the box.
+        # radius-(v-1) safety box (see docs/PERF.md) ---
         fx, fy, fz = scx.astype(f32), scy.astype(f32), scz.astype(f32)
         tbx = jnp.where(bigx, _BIG, jnp.where(dx > 0, (fx + 1.0 + r - ox) * ix, (fx - r - ox) * ix))
         tby = jnp.where(bigy, _BIG, jnp.where(dy > 0, (fy + 1.0 + r - oy) * iy, (fy - r - oy) * iy))
@@ -577,20 +627,7 @@ def _trace_skip_flat(
             steps=s["steps"] + 1,
         )
 
-    s = jax.lax.while_loop(cond, body, state)
-
-    def rshape(x, extra=()):
-        return x.reshape(shape + extra)
-
-    cell = jnp.stack([s["hx"], s["hy"], s["hz"]], axis=-1).reshape(shape + (3,))
-    return TraceResult(
-        hit=rshape(s["hit"]),
-        t=rshape(s["t"]),
-        block=rshape(s["block"]),
-        face=rshape(s["face"]),
-        cell=cell,
-        entering=rshape(s["entering"]),
-    )
+    return body
 
 
 def trace_brute_force(

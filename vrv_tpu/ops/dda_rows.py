@@ -117,7 +117,7 @@ def trace_rows(
     d_enter = jnp.where(enter_is_x, dx, jnp.where(enter_is_y, dy, dz))
 
     t0 = jnp.maximum(t_enter, f32(t_min))
-    valid = (t0 <= t_exit) & (t0 <= t_max)
+    valid = (t0 <= t_exit) & (t0 <= t_max) & ~(bigx & bigy & bigz)
 
     cx = jnp.clip(jnp.floor(ox + t0 * dx).astype(i32), 0, X - 1)
     cy = jnp.clip(jnp.floor(oy + t0 * dy).astype(i32), 0, Y - 1)

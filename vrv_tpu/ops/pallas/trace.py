@@ -77,7 +77,10 @@ def _trace_kernel(
         t_exit = jnp.minimum(t_exit, tf)
 
     t0 = jnp.maximum(t_enter, f32(t_min))
-    valid = (t0 <= t_exit) & (t0 <= t_max)
+    degenerate = (
+        (jnp.abs(d[0]) < 1e-12) & (jnp.abs(d[1]) < 1e-12) & (jnp.abs(d[2]) < 1e-12)
+    )
+    valid = (t0 <= t_exit) & (t0 <= t_max) & ~degenerate
 
     cell = []
     for ax in range(3):
