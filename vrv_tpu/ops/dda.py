@@ -342,7 +342,10 @@ def trace_skip(
         return _trace_result(s, shape)
 
     # ---- phase 1: full batch until the alive set fits the tail cap ----
-    cap = TRACE_COMPACT_CAP
+    # the cap scales with the batch (n/8, 64K-aligned): with a fixed cap a
+    # multi-million-ray batch would grind full-width until its alive count
+    # drained to the cap, wiping out the compaction win
+    cap = min(n, max(TRACE_COMPACT_CAP, ((n // 8 + 0xFFFF) >> 16) << 16))
 
     def cond_p1(s):
         alive = s["alive"]
@@ -351,20 +354,23 @@ def trace_skip(
 
     s1 = jax.lax.while_loop(cond_p1, body, state)
 
-    # ---- compact: sort alive rays to the front (stable), slice the cap ----
+    # ---- compact: stable-argsort alive rays to the front, then gather
+    # only the cap-sized prefix (sorting a 2-tuple + narrow gathers is far
+    # cheaper than carrying every ray field through the sort) ----
     i32 = jnp.int32
     key = (~s1["alive"]).astype(i32)
     ids = jnp.arange(n, dtype=i32)
+    _, perm = jax.lax.sort((key, ids), num_keys=1, is_stable=True)
+    s_ids = perm[:cap]
+    sox = jnp.take(o[:, 0], s_ids)
+    soy = jnp.take(o[:, 1], s_ids)
+    soz = jnp.take(o[:, 2], s_ids)
+    sdx = jnp.take(d[:, 0], s_ids)
+    sdy = jnp.take(d[:, 1], s_ids)
+    sdz = jnp.take(d[:, 2], s_ids)
     cellpack = (s1["cx"] << 20) | (s1["cy"] << 10) | s1["cz"]
-    sorted_ops = jax.lax.sort(
-        (key, ids, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-         cellpack, s1["comb"]),
-        num_keys=1,
-        is_stable=True,
-    )
-    (_, s_ids, sox, soy, soz, sdx, sdy, sdz, s_cellpack, s_comb) = [
-        op[:cap] for op in sorted_ops
-    ]
+    s_cellpack = jnp.take(cellpack, s_ids)
+    s_comb = jnp.take(s1["comb"], s_ids)
     was_alive = jnp.take(s1["alive"], s_ids, axis=0)
 
     # ---- phase 2: narrow loop over the compacted tail ----
