@@ -89,6 +89,21 @@ def test_traverse_picks_nearer_lamp_more_often(block_table):
     assert (p > 0).all() and (p <= 1.0 + 1e-6).all()
 
 
+def test_node_importance_monotonic_in_distance(block_table):
+    """SURVEY section 4.1: importance falls with distance from the light."""
+    g = _single_lamp_grid(block_table)
+    bvh = lb.build_from_grid(g, block_table)
+    dev = device_bvh(bvh)
+    normal = jnp.asarray([[0.0, 1.0, 0.0]] * 4, jnp.float32)
+    # points successively farther below-left of the lamp at (4..5)^3
+    pts = jnp.asarray(
+        [[4.5, 2.5, 4.5], [4.5, 1.5, 4.5], [4.5, 0.5, 4.5], [4.5, -2.5, 4.5]],
+        jnp.float32,
+    )
+    imp = np.asarray(nee.node_importance(pts, normal, jnp.zeros(4, jnp.int32), dev))
+    assert imp[0] > imp[1] > imp[2] > imp[3] >= 0
+
+
 def test_nee_is_unbiased_vs_hemisphere_only(block_table):
     """MIS reweighting must not change the converged image."""
     size = (12, 8, 12)
