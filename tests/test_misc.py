@@ -1,0 +1,79 @@
+"""Small-surface tests: camera math, geometry, telemetry, window sink."""
+
+import math
+
+import numpy as np
+import pytest
+
+from vrv_tpu.camera import SphericalCamera, dir_vecs
+from vrv_tpu.game.input import CursorMoved, MouseInput, MouseWheel
+from vrv_tpu.utils.geometry import cuboid, flat_polyline, mesh_aabb, unitcube
+from vrv_tpu.utils.profiling import FrameMeter
+from vrv_tpu.window import HeadlessSink
+
+
+def test_dir_vecs_orthonormal():
+    worldup = np.array([0.0, -1.0, 0.0])
+    f, r, u = dir_vecs(worldup, pitch=0.3, yaw=1.1)
+    for v in (f, r, u):
+        assert np.linalg.norm(v) == pytest.approx(1.0)
+    assert np.dot(f, r) == pytest.approx(0.0, abs=1e-9)
+    assert np.dot(f, u) == pytest.approx(0.0, abs=1e-9)
+    # right = front x worldup (camera.rs:30)
+    np.testing.assert_allclose(r, np.cross(f, worldup) / np.linalg.norm(np.cross(f, worldup)))
+
+
+def test_spherical_camera_drag_and_zoom():
+    cam = SphericalCamera()
+    extent = (200, 100)
+    cam.handle_events(extent, [MouseInput("middle", True)])
+    cam.handle_events(extent, [CursorMoved(100.0, 50.0)])   # center
+    cam.handle_events(extent, [CursorMoved(110.0, 50.0)])   # drag +x
+    # yaw -= dx * 2 (camera.rs:154)
+    assert cam.yaw == pytest.approx(-(10.0 / 100.0) * 2.0)
+    cam.handle_events(extent, [MouseInput("middle", False), MouseWheel(2.0)])
+    assert cam.offset == pytest.approx(3.0)  # 5 - 2 (camera.rs:176)
+    # pitch clamps at +-89 deg
+    cam.pitch = 10.0
+    cam.handle_events(extent, [MouseInput("middle", True), CursorMoved(110.0, 50.0)])
+    cam.handle_events(extent, [CursorMoved(110.0, 500.0)])
+    assert abs(cam.pitch) <= math.radians(89.0) + 1e-9
+
+
+def test_eye_orbits_root():
+    cam = SphericalCamera()
+    cam.set_root_position([10.0, 2.0, 3.0])
+    eye, front, right, up = cam.eye_front_right_up()
+    np.testing.assert_allclose(eye + cam.offset * front, [10.0, 2.0, 3.0], atol=1e-9)
+
+
+def test_cuboid_and_polyline_meshes():
+    c = cuboid([1.0, 2.0, 3.0], [2.0, 4.0, 6.0])
+    assert c["positions"].shape == (36, 3)
+    np.testing.assert_allclose(mesh_aabb(c), [2.0, 4.0, 6.0])
+    np.testing.assert_allclose(c["positions"].min(0), [0.0, 0.0, 0.0])
+    assert set(c["t"].tolist()) == set(range(6))
+    u = unitcube()
+    np.testing.assert_allclose(mesh_aabb(u), [1.0, 1.0, 1.0])
+
+    p = flat_polyline([[0, 0, 0], [1, 0, 0], [2, 0, 0]], 0.5, [1.0, 0.0, 0.0])
+    assert p["positions"].shape == (12, 3)  # 2 segments x 6 verts
+    assert p["colors"].shape == (12, 3)
+
+
+def test_frame_meter_counts():
+    lines = []
+    m = FrameMeter(print_fn=lines.append, interval_s=0.0)
+    m.frame(rays=100)
+    assert m.last_fps is not None and m.last_rays_per_sec is not None
+    assert lines and "fps" in lines[0]
+
+
+def test_headless_sink_roundtrip(tmp_path):
+    sink = HeadlessSink(out_path=str(tmp_path / "f.png"), every=1)
+    img = np.zeros((4, 6, 4), np.uint8)
+    img[..., 0] = 10
+    sink.present(img)
+    assert sink.frames == 1 and sink.open
+    assert (tmp_path / "f.png").exists()
+    assert sink.poll_events() == []
