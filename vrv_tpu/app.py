@@ -12,7 +12,6 @@ Usage:
 from __future__ import annotations
 
 import sys
-import time
 
 import numpy as np
 

@@ -29,7 +29,7 @@ import dataclasses
 import functools
 import json
 import os
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -25,11 +25,9 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from vrv_tpu.assets import BlockTable
-from vrv_tpu.config import WorldConfig
 from vrv_tpu.game import chunk as chunklib
 from vrv_tpu.game.manager import Manager, UpdateData
-from vrv_tpu.game.world import GlobalEntityAdd, GlobalEntityRemove, WorldSetBlock
+from vrv_tpu.game.world import WorldSetBlock
 from vrv_tpu.render.scene import Scene
 
 FACE_LEFT, FACE_RIGHT, FACE_DOWN, FACE_UP, FACE_BACK, FACE_FRONT = range(6)

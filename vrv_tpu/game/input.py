@@ -12,7 +12,7 @@ previous keyboard+mouse snapshots and edge-detection helpers.
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, List, Optional, Sequence
+from typing import Iterable, Optional, Sequence
 
 import numpy as np
 

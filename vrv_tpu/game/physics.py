@@ -33,8 +33,6 @@ from vrv_tpu.game.manager import Manager, UpdateData
 from vrv_tpu.game.world import (
     DYNAMIC,
     KINEMATIC_VELOCITY,
-    Entity,
-    EntityPhysicsData,
     GlobalEntityAdd,
     GlobalEntityRemove,
     GlobalEntityUpdateGroundedness,

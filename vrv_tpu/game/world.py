@@ -20,7 +20,7 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from vrv_tpu.camera import SphericalCamera
-from vrv_tpu.config import RenderConfig, SimConfig, WorldConfig
+from vrv_tpu.config import RenderConfig, SimConfig
 from vrv_tpu.game.manager import Manager, UpdateData
 from vrv_tpu.render.scene import Scene
 

@@ -27,7 +27,6 @@ Face indexing matches block.rs BlockFace: 0=left(-x) 1=right(+x)
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax

@@ -13,7 +13,7 @@ Barycentrics follow the Vulkan convention the kernel consumes
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ gathers are supported & profitable on the installed jax/libtpu.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

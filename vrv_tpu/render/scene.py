@@ -24,9 +24,8 @@ change the light count hit a small number of jit specializations.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ built to expose (SURVEY.md section 5, tracing).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

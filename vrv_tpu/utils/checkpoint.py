@@ -8,8 +8,6 @@ state is the voxel grid + camera pose + frame counter.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from vrv_tpu.config import WorldConfig
