@@ -30,16 +30,18 @@ import numpy as np
 
 from vrv_tpu.ops.dda import TraceResult, _BIG
 
-W = 32  # cells per row
+W = 32  # default cells per row (power of two)
 
 
-def pack_rows(grid: jax.Array, dist: jax.Array, translucent: jax.Array) -> jax.Array:
-    """(X,Y,Z) world -> (X*Y*Z/W, W) int32 row table.
+def pack_rows(
+    grid: jax.Array, dist: jax.Array, translucent: jax.Array, w: int = W
+) -> jax.Array:
+    """(X,Y,Z) world -> (X*Y*Z/w, w) int32 row table.
 
     Word layout: block<<16 | translucent<<9 | renders<<8 | dist.
     """
     X, Y, Z = grid.shape
-    assert Z % W == 0, f"Z={Z} must be a multiple of {W}"
+    assert Z % w == 0, f"Z={Z} must be a multiple of {w}"
     air = translucent.shape[0] - 1
     tl_i = translucent.astype(jnp.int32)
     comb = (
@@ -48,7 +50,7 @@ def pack_rows(grid: jax.Array, dist: jax.Array, translucent: jax.Array) -> jax.A
         | ((grid != jnp.uint8(air)).astype(jnp.int32) << 8)
         | dist.astype(jnp.int32)
     )
-    return comb.reshape(X * Y * (Z // W), W)
+    return comb.reshape(X * Y * (Z // w), w)
 
 
 def trace_rows(
@@ -62,6 +64,9 @@ def trace_rows(
 ) -> TraceResult:
     """Trace rays against a packed row table (see pack_rows)."""
     X, Y, Z = grid_shape
+    W = rows.shape[1]  # row width (shadows the module default)
+    W_SHIFT = W.bit_length() - 1
+    assert 1 << W_SHIFT == W, "row width must be a power of two"
     air = n_blocks - 1
     shape = origin.shape[:-1]
     o = origin.reshape(-1, 3).astype(jnp.float32)
@@ -79,7 +84,7 @@ def trace_rows(
         fx = jnp.clip(cx, 0, X - 1)
         fy = jnp.clip(cy, 0, Y - 1)
         fz = jnp.clip(cz, 0, Z - 1)
-        ridx = (fx * Y + fy) * n_z_rows + (fz >> 5)
+        ridx = (fx * Y + fy) * n_z_rows + (fz >> W_SHIFT)
         row = jnp.take(rows, ridx, axis=0)                      # (n, W)
         return jnp.where(inside[:, None], row, outside_word)
 

@@ -132,14 +132,19 @@ class Scene:
         }
 
     def _rebuild_dist(self):
+        import os
+
         from vrv_tpu.ops.dda import build_distance_field
         from vrv_tpu.ops.dda_rows import W, pack_rows
 
         self.dist = jax.jit(build_distance_field, static_argnums=(1,))(
             self.grid, int(self.table.air)
         )
-        if self.grid.shape[2] % W == 0:
-            self.rows = jax.jit(pack_rows)(self.grid, self.dist, self.translucent)
+        w = int(os.environ.get("VRV_ROW_W", W))
+        if self.grid.shape[2] % w == 0:
+            self.rows = jax.jit(pack_rows, static_argnums=(3,))(
+                self.grid, self.dist, self.translucent, w
+            )
         else:
             self.rows = None
 
