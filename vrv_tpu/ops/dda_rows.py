@@ -61,8 +61,17 @@ def trace_rows(
     direction: jax.Array,
     t_min: float = 0.001,
     t_max: float = 1000.0,
+    _tail: bool = False,
 ) -> TraceResult:
-    """Trace rays against a packed row table (see pack_rows)."""
+    """Trace rays against a packed row table (see pack_rows).
+
+    Large batches use compaction-by-restart: after TRACE_COMPACT_K
+    full-width iterations the few still-marching rays are gathered to a
+    bounded prefix and RE-TRACED from scratch at narrow width — the trace
+    is deterministic in (o, d), so the retraced result is identical and no
+    mid-flight state needs to survive the compaction (the redone early
+    steps cost ~nothing at tail width).
+    """
     X, Y, Z = grid_shape
     W = rows.shape[1]  # row width (shadows the module default)
     W_SHIFT = W.bit_length() - 1
@@ -344,7 +353,40 @@ def trace_rows(
             steps=s["steps"] + 1,
         )
 
-    s = jax.lax.while_loop(cond, body, state)
+    from vrv_tpu.ops import dda as _dda
+
+    if _tail or n <= _dda.TRACE_COMPACT_CAP:
+        s = jax.lax.while_loop(cond, body, state)
+    else:
+        cap = min(
+            n, max(_dda.TRACE_COMPACT_CAP, ((n // 8 + 0xFFFF) >> 16) << 16)
+        )
+
+        def cond_p1(s):
+            alive = s["alive"]
+            more = (s["steps"] < _dda.TRACE_COMPACT_K) | (alive.sum() > cap)
+            return (s["steps"] < max_steps) & alive.any() & more
+
+        s = jax.lax.while_loop(cond_p1, body, state)
+        key = (~s["alive"]).astype(i32)
+        ids = jnp.arange(n, dtype=i32)
+        _, perm = jax.lax.sort((key, ids), num_keys=1, is_stable=True)
+        s_ids = perm[:cap]
+        was_alive = jnp.take(s["alive"], s_ids, axis=0)
+        o2 = jnp.take(o, s_ids, axis=0)
+        # zero direction marks padding rays degenerate -> skipped instantly
+        d2 = jnp.where(was_alive[:, None], jnp.take(d, s_ids, axis=0), 0.0)
+        r2 = trace_rows(
+            grid_shape, rows, n_blocks, o2, d2, t_min, t_max, _tail=True
+        )
+        dest = jnp.where(was_alive, s_ids, i32(n))
+        s = dict(s)
+        for fname, val in (
+            ("hit", r2.hit), ("t", r2.t), ("block", r2.block),
+            ("face", r2.face), ("hx", r2.cell[:, 0]), ("hy", r2.cell[:, 1]),
+            ("hz", r2.cell[:, 2]), ("entering", r2.entering),
+        ):
+            s[fname] = s[fname].at[dest].set(val, mode="drop")
 
     def rshape(x):
         return x.reshape(shape)
