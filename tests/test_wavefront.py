@@ -30,3 +30,32 @@ def test_wavefront_matches_megakernel(block_table):
     diff = np.abs(img_m.astype(int) - img_w.astype(int))
     assert diff.max() <= 1
     assert (diff == 0).mean() > 0.98
+
+
+def test_wavefront_occupancy_reporting(block_table):
+    """Per-bounce live-ray occupancy (the profiling signal the reference's
+    wavefront branch existed for, README.md:28-43)."""
+    import jax.numpy as jnp
+
+    from vrv_tpu.render.wavefront import render_samples_wavefront
+
+    wc = WorldConfig(size=(16, 16, 16), origin=(0, 0, 0), seed=0)
+    grid = np.full(wc.size, block_table.air, dtype=np.uint8)
+    grid[:, :3, :] = block_table.block_idx("stone")
+    sc = Scene(wc, table=block_table, grid=grid)
+    cfg = RenderConfig(width=16, height=8, samples_per_pixel=2, max_bounces=3)
+    fb, occ = render_samples_wavefront(
+        sc.grid, sc.translucent, sc.materials, None, 0, sc.dist, None, sc.rows,
+        sc.camera_to_local(np.array([8.0, 8.0, 8.0])),
+        jnp.asarray([0.0, -1.0, 0.0], jnp.float32),
+        jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+        jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+        jnp.uint32(0), cfg, with_occupancy=True,
+    )
+    occ = np.asarray(occ)
+    assert occ.shape == (3,)
+    n_rays = 16 * 8 * 2
+    assert occ[0] == n_rays            # all primaries alive
+    assert occ[1] <= occ[0]            # monotone decay as rays terminate
+    assert occ[2] <= occ[1]
+    assert fb.shape == (8, 16, 3)
