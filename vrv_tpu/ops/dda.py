@@ -346,10 +346,15 @@ def trace_skip(
     # drained to the cap, wiping out the compaction win
     cap = min(n, max(TRACE_COMPACT_CAP, ((n // 8 + 0xFFFF) >> 16) << 16))
 
+    # keep full width while the alive set is too big to compact; below a
+    # batch fraction, compact immediately (late bounces start mostly dead,
+    # so their phase 1 is ~zero iterations)
+    thresh = max(cap, n // 6)
+
     def cond_p1(s):
-        alive = s["alive"]
-        more = (s["steps"] < TRACE_COMPACT_K) | (alive.sum() > cap)
-        return (s["steps"] < max_steps) & alive.any() & more
+        alive_n = s["alive"].sum()
+        more = (alive_n > cap) | ((s["steps"] < TRACE_COMPACT_K) & (alive_n > thresh))
+        return (s["steps"] < max_steps) & (alive_n > 0) & more
 
     s1 = jax.lax.while_loop(cond_p1, body, state)
 

@@ -362,10 +362,14 @@ def trace_rows(
             n, max(_dda.TRACE_COMPACT_CAP, ((n // 8 + 0xFFFF) >> 16) << 16)
         )
 
+        thresh = max(cap, n // 6)
+
         def cond_p1(s):
-            alive = s["alive"]
-            more = (s["steps"] < _dda.TRACE_COMPACT_K) | (alive.sum() > cap)
-            return (s["steps"] < max_steps) & alive.any() & more
+            alive_n = s["alive"].sum()
+            more = (alive_n > cap) | (
+                (s["steps"] < _dda.TRACE_COMPACT_K) & (alive_n > thresh)
+            )
+            return (s["steps"] < max_steps) & (alive_n > 0) & more
 
         s = jax.lax.while_loop(cond_p1, body, state)
         key = (~s["alive"]).astype(i32)
