@@ -133,3 +133,48 @@ def test_rows_renders_match_skip_tracer_image(block_table):
     img_rows = np.asarray(sc.render(eye, front, right, up, 0, base.replace(tracer="rows")))
     img_skip = np.asarray(sc.render(eye, front, right, up, 0, base.replace(tracer="skip")))
     np.testing.assert_array_equal(img_rows, img_skip)
+
+
+def test_rows_major_axis_matches_exact_oracle():
+    """Per-ray major-axis packing (pack_rows_3axis + trace_rows_major) is
+    hit-for-hit identical to the exact DDA, including axis-aligned and
+    tie-breaking diagonal directions."""
+    import numpy as np
+
+    from vrv_tpu.ops.dda import build_distance_field, trace
+    from vrv_tpu.ops.dda_rows import pack_rows_3axis, trace_rows_major
+
+    rng = np.random.default_rng(0)
+    S = 32
+    air = 4
+    grid = np.full((S, S, S), air, np.uint8)
+    m = rng.random((S, S, S)) < 0.03
+    grid[m] = rng.integers(0, 4, m.sum()).astype(np.uint8)
+    translucent = np.array([0, 0, 1, 0, 1], bool)
+
+    dist = build_distance_field(jnp.asarray(grid), air)
+    rows3 = pack_rows_3axis(jnp.asarray(grid), dist, jnp.asarray(translucent), 4)
+
+    n = 2048
+    o = rng.uniform(-5, S + 5, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d[:32] = np.array([1, 0, 0])
+    d[32:64] = np.array([0, -1, 0])
+    d[64:96] = np.array([1, 1, 1]) / np.sqrt(3)
+
+    r_ex = trace(jnp.asarray(grid), jnp.asarray(translucent), o, d)
+    r_m = trace_rows_major((S, S, S), rows3, 5, o, d)
+
+    np.testing.assert_array_equal(np.asarray(r_ex.hit), np.asarray(r_m.hit))
+    mask = np.asarray(r_ex.hit)
+    np.testing.assert_allclose(
+        np.asarray(r_ex.t)[mask], np.asarray(r_m.t)[mask], atol=1e-4
+    )
+    for f in ("block", "face", "entering"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(r_ex, f))[mask], np.asarray(getattr(r_m, f))[mask]
+        )
+    np.testing.assert_array_equal(
+        np.asarray(r_ex.cell)[mask], np.asarray(r_m.cell)[mask]
+    )

@@ -30,7 +30,7 @@ import numpy as np
 
 from vrv_tpu.ops.dda import TraceResult, _BIG
 
-W = 32  # default cells per row (power of two)
+W = 8  # default cells per row (power of two; W=8 measured fastest on v5e)
 
 
 def pack_rows(
@@ -62,6 +62,7 @@ def trace_rows(
     t_min: float = 0.001,
     t_max: float = 1000.0,
     _tail: bool = False,
+    row_offset=None,
 ) -> TraceResult:
     """Trace rays against a packed row table (see pack_rows).
 
@@ -94,6 +95,8 @@ def trace_rows(
         fy = jnp.clip(cy, 0, Y - 1)
         fz = jnp.clip(cz, 0, Z - 1)
         ridx = (fx * Y + fy) * n_z_rows + (fz >> W_SHIFT)
+        if row_offset is not None:
+            ridx = ridx + row_offset
         row = jnp.take(rows, ridx, axis=0)                      # (n, W)
         return jnp.where(inside[:, None], row, outside_word)
 
@@ -380,8 +383,12 @@ def trace_rows(
         o2 = jnp.take(o, s_ids, axis=0)
         # zero direction marks padding rays degenerate -> skipped instantly
         d2 = jnp.where(was_alive[:, None], jnp.take(d, s_ids, axis=0), 0.0)
+        off2 = (
+            None if row_offset is None else jnp.take(row_offset, s_ids, axis=0)
+        )
         r2 = trace_rows(
-            grid_shape, rows, n_blocks, o2, d2, t_min, t_max, _tail=True
+            grid_shape, rows, n_blocks, o2, d2, t_min, t_max,
+            _tail=True, row_offset=off2,
         )
         dest = jnp.where(was_alive, s_ids, i32(n))
         s = dict(s)
@@ -404,3 +411,107 @@ def trace_rows(
         cell=cell,
         entering=rshape(s["entering"]),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-ray major-axis packing: three transposed row tables so every ray's
+# dominant direction gets multi-cell row scans (cubic grids).
+# Cyclic layouts: table 0 = x-major (Y,Z,X), table 1 = y-major (Z,X,Y),
+# table 2 = z-major (X,Y,Z). A ray with dominant axis p swizzles its
+# coordinates into the layout where that axis is the row axis, traces with
+# a per-ray table offset, and un-swizzles the hit.
+# ---------------------------------------------------------------------------
+
+
+def pack_rows_3axis(
+    grid: jax.Array, dist: jax.Array, translucent: jax.Array, w: int = 4
+) -> jax.Array:
+    """(S,S,S) world -> (3 * S^3/w, w) int32 concatenated row tables."""
+    X, Y, Z = grid.shape
+    assert X == Y == Z, "3-axis packing requires a cubic grid"
+    comb = pack_rows(grid, dist, translucent, w).reshape(X, Y, Z)
+    tables = [
+        comb.transpose(1, 2, 0).reshape(-1, w),   # x-major
+        comb.transpose(2, 0, 1).reshape(-1, w),   # y-major
+        comb.reshape(-1, w),                      # z-major
+    ]
+    return jnp.concatenate(tables, axis=0)
+
+
+# layout -> original axis map per permutation (cyclic swizzles)
+_UNSWZ = np.array([[1, 2, 0], [2, 0, 1], [0, 1, 2]], np.int32)  # layout -> orig
+
+
+def _select3(p, a, b, c):
+    return jnp.where(p == 0, a, jnp.where(p == 1, b, c))
+
+
+def trace_rows_major(
+    grid_shape,
+    rows3: jax.Array,
+    n_blocks: int,
+    origin: jax.Array,
+    direction: jax.Array,
+    t_min: float = 0.001,
+    t_max: float = 1000.0,
+) -> TraceResult:
+    """Major-axis-packed trace (see pack_rows_3axis). Cubic grids only."""
+    X, Y, Z = grid_shape
+    assert X == Y == Z
+    shape = origin.shape[:-1]
+    o = origin.reshape(-1, 3).astype(jnp.float32)
+    d = direction.reshape(-1, 3).astype(jnp.float32)
+    w = rows3.shape[1]
+    table_rows = (X * Y * Z) // w
+
+    ad = jnp.abs(d)
+    p = jnp.where(
+        (ad[:, 0] >= ad[:, 1]) & (ad[:, 0] >= ad[:, 2]), 0,
+        jnp.where(ad[:, 1] >= ad[:, 2], 1, 2),
+    ).astype(jnp.int32)
+
+    def swz(v):
+        # layout coords (x', y', z') where z' is the ray's dominant axis
+        vx = _select3(p, v[:, 1], v[:, 2], v[:, 0])
+        vy = _select3(p, v[:, 2], v[:, 0], v[:, 1])
+        vz = _select3(p, v[:, 0], v[:, 1], v[:, 2])
+        return jnp.stack([vx, vy, vz], axis=-1)
+
+    res = trace_rows(
+        grid_shape, rows3, n_blocks, swz(o), swz(d), t_min, t_max,
+        row_offset=(p * table_rows),
+    )
+
+    # un-swizzle cell + face axis back to original space
+    flat = res.cell.reshape(-1, 3)
+    cx = _select3(p, flat[:, 2], flat[:, 1], flat[:, 0])
+    cy = _select3(p, flat[:, 0], flat[:, 2], flat[:, 1])
+    cz = _select3(p, flat[:, 1], flat[:, 0], flat[:, 2])
+    cell = jnp.stack([cx, cy, cz], axis=-1).reshape(shape + (3,))
+    face_flat = res.face.reshape(-1)
+    axis_l = face_flat >> 1
+    sign = face_flat & 1
+    axis_o = _select3(
+        p,
+        jnp.asarray(_UNSWZ[0])[axis_l],
+        jnp.asarray(_UNSWZ[1])[axis_l],
+        jnp.asarray(_UNSWZ[2])[axis_l],
+    )
+    face = (axis_o * 2 + sign).reshape(shape)
+    return TraceResult(
+        hit=res.hit, t=res.t, block=res.block, face=face, cell=cell,
+        entering=res.entering,
+    )
+
+
+def trace_rows_auto(
+    grid_shape, rows, n_blocks, origin, direction,
+    t_min: float = 0.001, t_max: float = 1000.0,
+) -> TraceResult:
+    """Dispatch on table size: a 3x-sized table is a pack_rows_3axis table."""
+    X, Y, Z = grid_shape
+    if rows.shape[0] * rows.shape[1] == 3 * X * Y * Z:
+        return trace_rows_major(
+            grid_shape, rows, n_blocks, origin, direction, t_min, t_max
+        )
+    return trace_rows(grid_shape, rows, n_blocks, origin, direction, t_min, t_max)

@@ -80,7 +80,7 @@ def render_samples(
         # (reference README.md:40-43)
         with jax.named_scope(f"trace_b{bounce}"):
             if cfg.tracer == "rows" and rows is not None:
-                from vrv_tpu.ops.dda_rows import trace_rows
+                from vrv_tpu.ops.dda_rows import trace_rows_auto as trace_rows
 
                 tr = trace_rows(
                     grid.shape, rows, translucent.shape[0], o, d,

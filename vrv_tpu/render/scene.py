@@ -135,13 +135,20 @@ class Scene:
         import os
 
         from vrv_tpu.ops.dda import build_distance_field
-        from vrv_tpu.ops.dda_rows import W, pack_rows
+        from vrv_tpu.ops.dda_rows import W, pack_rows, pack_rows_3axis
 
         self.dist = jax.jit(build_distance_field, static_argnums=(1,))(
             self.grid, int(self.table.air)
         )
         w = int(os.environ.get("VRV_ROW_W", W))
-        if self.grid.shape[2] % w == 0:
+        X, Y, Z = self.grid.shape
+        if Z % w == 0 and X == Y == Z:
+            # cubic: three transposed tables so every ray's dominant axis
+            # gets multi-cell row scans (pack_rows_3axis)
+            self.rows = jax.jit(pack_rows_3axis, static_argnums=(3,))(
+                self.grid, self.dist, self.translucent, w
+            )
+        elif Z % w == 0:
             self.rows = jax.jit(pack_rows, static_argnums=(3,))(
                 self.grid, self.dist, self.translucent, w
             )

@@ -84,7 +84,7 @@ def render_samples_wavefront(
         """Trace+shade one segment; returns updated segment state."""
         (seg_o, seg_d, seg_seed, seg_T, bounce) = args
         if cfg.tracer == "rows" and rows is not None:
-            from vrv_tpu.ops.dda_rows import trace_rows
+            from vrv_tpu.ops.dda_rows import trace_rows_auto as trace_rows
 
             tr = trace_rows(
                 grid.shape, rows, translucent.shape[0], seg_o, seg_d,
