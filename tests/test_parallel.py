@@ -39,7 +39,13 @@ grid[:, :2, :] = bt.block_idx("stone")
 grid[8, 2, 8] = bt.block_idx("lamp")
 scene = Scene(wc, table=bt, grid=grid)
 
-cfg = RenderConfig(width=16, height=8, samples_per_pixel=8, max_bounces=2)
+# strict byte-identity gate runs with the beam pre-pass off: the advance
+# perturbs exact corner-tie rays (both DDA outcomes are valid) and the
+# perturbation is FMA-contraction-sensitive across compilation contexts;
+# everything else in the pipeline is bit-stable (see tests/test_beam.py
+# for the beam's own gates)
+cfg = RenderConfig(width=16, height=8, samples_per_pixel=8, max_bounces=2,
+                   beam_prepass=False)
 eye = np.array([8.0, 8.0, 8.0])
 front = jnp.asarray([0.0, -1.0, 0.0], jnp.float32)
 right = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)

@@ -52,6 +52,12 @@ class RenderConfig:
     # back to 'skip' when no row table exists (grid depth not a multiple
     # of the row width).
     tracer: str = "rows"
+    # conservative per-tile cone march that advances primary rays through
+    # proven-empty space before the real trace (ops/dda.beam_march,
+    # ~15% frame time on v5e). Never skips a hit; may flip rays passing
+    # exactly through cell corners to the other (equally valid) DDA
+    # resolution, so bit-identity gates run with this off
+    beam_prepass: bool = True
     # 'megakernel' = fused lax.scan over bounces (parity-first, reference-shaped);
     # 'wavefront'  = per-bounce Pallas kernels with ray compaction (perf-first,
     # the formulation the reference found faster on its wavefront branch,

@@ -683,3 +683,87 @@ def trace_brute_force(
         if (cell < -1).any() or (cell > size).any():
             break
     return dict(hit=False)
+
+
+# ---------------------------------------------------------------------------
+# Beam pre-pass: conservative cone march for camera rays.
+#
+# All primary rays of one sample batch share an origin (the eye,
+# reference pathtrace_shader.rs:895), so an 8x8 pixel tile forms a cone:
+# ray i's point at its own parameter s satisfies
+# |p_i(s) - p_c(s)| = s * |d_i - d_c| <= s * c_tile. A distance-field
+# value v at the central position certifies that every cell within
+# chebyshev radius v-1 (hence the euclidean ball of radius v-1) is air,
+# and cells outside the grid are air by definition. Advancing the
+# central parameter by delta keeps the whole cone in proven air while
+# (t + delta) * c_tile + delta <= v - 1 - eps, so
+#   delta = (v - 1 - eps - t * c_tile) / (1 + c_tile).
+# The march stops when delta falls under half a cell; the returned T is
+# a per-tile parameter such that every tile ray is in air for its own
+# parameter <= T, letting the real tracer start at eye + (T - 0.5) * d_i.
+# ---------------------------------------------------------------------------
+
+
+def beam_march(
+    dist: jax.Array,
+    d_c: jax.Array,
+    c_tile: jax.Array,
+    eye: jax.Array,
+    max_iters: int = 96,
+) -> jax.Array:
+    """Per-tile safe advance T. d_c (n,3) unit central dirs, c_tile (n,)."""
+    X, Y, Z = dist.shape
+    dims = jnp.asarray([X, Y, Z], jnp.float32)
+    eps = jnp.float32(0.05)
+    dist_flat = dist.reshape(-1).astype(jnp.float32)
+
+    def body(state):
+        t, alive, it = state
+        p = eye[None, :] + t[:, None] * d_c
+        cell = jnp.floor(p)
+        inside = jnp.all((cell >= 0) & (cell < dims), axis=-1)
+        ci = cell.astype(jnp.int32)
+        idx = (ci[:, 0] * Y + ci[:, 1]) * Z + ci[:, 2]
+        v = jnp.take(dist_flat, jnp.where(inside, idx, 0), axis=0)
+        delta = (v - 1.0 - eps - t * c_tile) / (1.0 + c_tile)
+        ok = alive & inside & (delta >= 0.5)
+        t = jnp.where(ok, t + delta, t)
+        return t, ok, it + 1
+
+    def cond(state):
+        _, alive, it = state
+        return jnp.any(alive) & (it < max_iters)
+
+    n = d_c.shape[0]
+    t0 = jnp.zeros((n,), jnp.float32)
+    alive0 = jnp.ones((n,), bool)
+    t, _, _ = jax.lax.while_loop(cond, body, (t0, alive0, jnp.int32(0)))
+    return t
+
+
+def beam_advance(
+    dist: jax.Array,
+    eye: jax.Array,
+    d: jax.Array,
+    tile: int = 8,
+) -> jax.Array:
+    """Per-ray safe advance for camera rays d of shape (spp, H, W, 3).
+
+    Returns adv (spp, H, W): each ray is provably in air for its own
+    parameter <= adv (adv = max(T_tile - 0.5, 0)), so tracing may start
+    from eye + adv * d with unchanged results.
+    """
+    spp, H, W, _ = d.shape
+    if H % tile or W % tile:
+        return jnp.zeros((spp, H, W), jnp.float32)
+    dt = d.reshape(spp, H // tile, tile, W // tile, tile, 3)
+    d_c = dt.mean(axis=(0, 2, 4))                              # (Ht, Wt, 3)
+    d_c = d_c / jnp.sqrt((d_c * d_c).sum(-1, keepdims=True))
+    diff = dt - d_c[None, :, None, :, None, :]
+    c_tile = jnp.sqrt((diff * diff).sum(-1)).max(axis=(0, 2, 4))
+    T = beam_march(dist, d_c.reshape(-1, 3), c_tile.reshape(-1), eye)
+    T = T.reshape(1, H // tile, 1, W // tile, 1)
+    adv = jnp.maximum(T - 0.5, 0.0)
+    return jnp.broadcast_to(
+        adv, (spp, H // tile, tile, W // tile, tile)
+    ).reshape(spp, H, W)

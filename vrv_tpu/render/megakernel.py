@@ -66,6 +66,32 @@ def render_samples(
         y0=y0, local_height=local_height, s0=s0, local_spp=local_spp,
     )
     n = S * H * W
+    # beam pre-pass: camera rays share an origin, so one conservative cone
+    # march per 8x8 pixel tile proves a per-ray air interval [0, adv] and
+    # the real trace starts at eye + adv * d (ops/dda.beam_march)
+    adv = None
+    if cfg.beam_prepass and dist is not None and cfg.tracer != "exact":
+        with jax.named_scope("beam_prepass"):
+            if local_height or local_spp:
+                # shards must agree bit-for-bit with the single-chip render
+                # on every ray, including corner-tie rays whose DDA
+                # resolution legitimately depends on the advanced origin —
+                # so the advance always derives from the FULL frame's tile
+                # structure (replicated, cheap) and is sliced per shard
+                _, d_full, _ = raygen(
+                    eye, front, right, up, cfg.width, cfg.height,
+                    cfg.samples_per_pixel, frame,
+                    jitter_scale=cfg.jitter_scale,
+                )
+                adv_full = dda.beam_advance(dist, eye, d_full)
+                adv = jax.lax.dynamic_slice(
+                    adv_full,
+                    (jnp.asarray(s0), jnp.asarray(y0), jnp.int32(0)),
+                    (S, H, W),
+                )
+            else:
+                adv = dda.beam_advance(dist, eye, d)
+            adv = adv.reshape(n)
     o = o.reshape(n, 3)
     d = d.reshape(n, 3)
     seeds = sample_seed.reshape(n)
@@ -79,21 +105,37 @@ def render_samples(
         # the observability the reference's wavefront branch existed for
         # (reference README.md:40-43)
         with jax.named_scope(f"trace_b{bounce}"):
+            o_tr = o + adv[:, None] * d if (bounce == 0 and adv is not None) else o
             if cfg.tracer == "rows" and rows is not None:
                 from vrv_tpu.ops.dda_rows import trace_rows_auto as trace_rows
 
                 tr = trace_rows(
-                    grid.shape, rows, translucent.shape[0], o, d,
+                    grid.shape, rows, translucent.shape[0], o_tr, d,
                     t_min=cfg.t_min, t_max=cfg.t_max,
                 )
             elif dist is not None and cfg.tracer != "exact":
                 tr = dda.trace_skip(
-                    grid, dist, translucent, o, d, t_min=cfg.t_min, t_max=cfg.t_max
+                    grid, dist, translucent, o_tr, d,
+                    t_min=cfg.t_min, t_max=cfg.t_max,
                 )
             else:
                 tr = dda.trace(
-                    grid, translucent, o, d, t_min=cfg.t_min, t_max=cfg.t_max
+                    grid, translucent, o_tr, d, t_min=cfg.t_min, t_max=cfg.t_max
                 )
+            if bounce == 0 and adv is not None:
+                # reconstruct the absolute hit t from the original eye so the
+                # result is bit-equal to an unadvanced trace (the tracer's t
+                # is always (integer plane - o_axis) * (1/d_axis); recompute
+                # the same expression from the eye) — keeps sharded/wavefront
+                # renders byte-identical regardless of tile grouping
+                axis = tr.face >> 1
+                d_a = jnp.take_along_axis(d, axis[:, None], 1)[:, 0]
+                o_a = jnp.take_along_axis(o, axis[:, None], 1)[:, 0]
+                cell_a = jnp.take_along_axis(tr.cell, axis[:, None], 1)[:, 0]
+                plane = cell_a.astype(jnp.float32) + ((d_a > 0) ^ tr.entering)
+                safe_d = jnp.where(jnp.abs(d_a) < 1e-12, jnp.float32(1e-12), d_a)
+                t_rec = (plane - o_a) * (1.0 / safe_d)
+                tr = tr._replace(t=jnp.where(tr.hit, t_rec, tr.t + adv))
         bounce_seed = rng.murmur3_combine(seeds, jnp.uint32(bounce))
         inst_hit = None
         if inst is not None:
