@@ -127,7 +127,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--grid", type=int, default=128, help="cubic grid side")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mode", choices=["megakernel", "wavefront"], default="megakernel")
-    p.add_argument("--tracer", choices=["rows", "skip", "exact"], default="skip")
+    p.add_argument("--tracer", choices=["rows", "skip", "exact"], default="rows")
+    p.add_argument("--no-beam", action="store_true",
+                   help="disable the primary-ray beam pre-pass (debugging)")
     p.add_argument("--frames", type=int, default=1)
     p.add_argument("--out", type=str, default=None, help="PNG output path")
     p.add_argument("--no-nee", action="store_true")
@@ -146,6 +148,7 @@ def configs_from_args(args) -> Tuple[RenderConfig, WorldConfig]:
         mode=args.mode,
         tracer=args.tracer,
         enable_nee=not args.no_nee,
+        beam_prepass=not args.no_beam,
         progressive=args.progressive,
     )
     g = args.grid
