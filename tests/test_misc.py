@@ -77,3 +77,23 @@ def test_headless_sink_roundtrip(tmp_path):
     assert sink.frames == 1 and sink.open
     assert (tmp_path / "f.png").exists()
     assert sink.poll_events() == []
+
+
+def test_cli_defaults_match_render_config():
+    """The argparse defaults must track RenderConfig's defaults — a stale
+    CLI default silently overrides the tuned tracer for app users (this
+    regressed once when the default tracer changed)."""
+    from vrv_tpu.config import RenderConfig, build_arg_parser, configs_from_args
+
+    args = build_arg_parser().parse_args([])
+    rc, wc = configs_from_args(args)
+    ref = RenderConfig()
+    assert rc.tracer == ref.tracer
+    assert rc.beam_prepass == ref.beam_prepass
+    assert rc.mode == ref.mode
+    assert rc.enable_nee == ref.enable_nee
+
+    args = build_arg_parser().parse_args(["--no-beam", "--tracer", "skip"])
+    rc, _ = configs_from_args(args)
+    assert rc.beam_prepass is False
+    assert rc.tracer == "skip"
