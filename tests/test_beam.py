@@ -88,3 +88,24 @@ def test_beam_noop_outside_grid(block_table):
     )
     assert np.array_equal(a, b)
     assert a.std() > 1  # non-trivial image
+
+
+def test_beam_wavefront_matches_unadvanced(block_table):
+    """Wavefront mode's beam advance: same statistical gate as megakernel."""
+    wc = WorldConfig(size=(48, 48, 48), origin=(-24, -24, -24), seed=0)
+    sc = Scene(wc, table=block_table)
+    eye = np.array([0.0, 14.0, -10.0], np.float32)
+    front = np.array([0.0, -0.35, 0.936], np.float32)
+    right = np.array([-1.0, 0.0, 0.0], np.float32)
+    up = np.array([0.0, -0.936, -0.35], np.float32)
+    base = RenderConfig(
+        width=96, height=64, samples_per_pixel=2, max_bounces=3,
+        mode="wavefront",
+    )
+    on = np.asarray(sc.render(eye, front, right, up, 3, base))
+    off = np.asarray(
+        sc.render(eye, front, right, up, 3, base.replace(beam_prepass=False))
+    )
+    diff = np.abs(on.astype(int) - off.astype(int))
+    assert (diff == 0).mean() > 0.99
+    assert (diff.max(-1) > 1).mean() < 0.005

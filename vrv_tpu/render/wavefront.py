@@ -59,6 +59,14 @@ def render_samples_wavefront(
     o, d, sample_seed = raygen(
         eye, front, right, up, W, H, S, frame, jitter_scale=cfg.jitter_scale
     )
+    # beam pre-pass (ops/dda.beam_march): primary origins advance to the
+    # per-tile proven-safe depth. Unlike megakernel mode, the (origin, t)
+    # pair stays self-consistent — downstream shading only ever combines
+    # them as o + t * d, so no eye-relative t reconstruction is needed
+    if cfg.beam_prepass and dist is not None and cfg.tracer != "exact":
+        with jax.named_scope("beam_prepass"):
+            adv = dda.beam_advance(dist, eye, d)
+            o = o + adv[..., None] * d
     n = S * H * W
     seg_size = min(SEGMENT, _ceil_to(n, 1024))
     n_pad = _ceil_to(n, seg_size)
