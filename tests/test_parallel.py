@@ -81,3 +81,47 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_graft_dryrun_hostile_env(tmp_path):
+    """Simulate the driver's environment that broke round 1 (MULTICHIP_r01):
+
+    a sitecustomize delivered via PYTHONPATH under an arbitrary directory
+    name (so string-matching 'axon_site' can't save us) that poisons the
+    JAX platform at interpreter start, plus broken TPU env vars. The dryrun
+    parent must never touch jax, and its hermetic child (-E + scrubbed env)
+    must land on a clean multi-device CPU backend anyway.
+    """
+    import os
+    import subprocess
+    import sys
+
+    from conftest import REPO_ROOT
+
+    site_dir = tmp_path / "driver_site"
+    site_dir.mkdir()
+    (site_dir / "sitecustomize.py").write_text(
+        "import os\n"
+        "os.environ['JAX_PLATFORMS'] = 'no_such_platform'\n"
+        "os.environ['VRV_POISONED_SITE'] = '1'\n"
+    )
+    env = dict(os.environ)
+    env.pop("VRV_DRYRUN_CHILD", None)
+    env["PYTHONPATH"] = f"{site_dir}:{REPO_ROOT}"
+    env["JAX_PLATFORMS"] = "axon"
+    env["PALLAS_AXON_REMOTE_COMPILE"] = "1"
+    env["TPU_LIBRARY_PATH"] = "/nonexistent/libtpu.so"
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__; __graft_entry__.dryrun_multichip(8)",
+        ],
+        env=env,
+        cwd=REPO_ROOT,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert out.returncode == 0, f"stdout:\n{out.stdout}\nstderr:\n{out.stderr}"
+    assert "dryrun_multichip OK" in out.stdout
