@@ -97,3 +97,86 @@ def test_cli_defaults_match_render_config():
     rc, _ = configs_from_args(args)
     assert rc.beam_prepass is False
     assert rc.tracer == "skip"
+
+
+# ---------------------------------------------------------------------------
+# noise contracts (ops/noise.py) — what the procedural tracer relies on
+# ---------------------------------------------------------------------------
+
+
+def test_noise_grad_dot_matches_table():
+    """The branchless gradient selection equals the _GRAD3 table dot."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vrv_tpu.ops.noise import _GRAD3, _grad_dot
+
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(1000, 3)).astype(np.float32)
+    gi = rng.integers(0, 12, size=1000).astype(np.int32)
+    want = (_GRAD3[gi] * v).sum(-1)
+    got = np.asarray(
+        _grad_dot(jnp.asarray(gi), jnp.asarray(v[:, 0]), jnp.asarray(v[:, 1]),
+                  jnp.asarray(v[:, 2]))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_noise_range_determinism_seed():
+    import numpy as np
+
+    import jax
+
+    from vrv_tpu.ops.noise import simplex3
+
+    p = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(3), (200000, 3), minval=-40.0, maxval=40.0)
+    )
+    v = np.asarray(simplex3(p[:, 0], p[:, 1], p[:, 2]))
+    assert np.abs(v).max() <= 1.0
+    assert np.abs(v).max() > 0.6          # amplitude calibration sane
+    assert abs(float(v.mean())) < 5e-3    # unbiased
+    v2 = np.asarray(simplex3(p[:100, 0], p[:100, 1], p[:100, 2]))
+    assert (v2 == v[:100]).all()          # deterministic
+    v3 = np.asarray(simplex3(p[:100, 0], p[:100, 1], p[:100, 2], seed=7))
+    assert (v3 != v2).all()               # seed changes the field
+
+
+def test_noise_lipschitz():
+    """Empirical sup|grad| must stay under the exported LIPSCHITZ bound."""
+    import numpy as np
+
+    import jax
+
+    from vrv_tpu.ops.noise import LIPSCHITZ, simplex3
+
+    p = jax.random.uniform(jax.random.PRNGKey(4), (60000, 3), minval=-30.0, maxval=30.0)
+    g = jax.vmap(jax.grad(lambda q: simplex3(q[0], q[1], q[2])))(p)
+    gn = np.linalg.norm(np.asarray(g), axis=-1)
+    assert gn.max() < LIPSCHITZ
+    assert gn.max() > 0.5 * LIPSCHITZ  # bound isn't absurdly loose either
+
+
+def test_noise_tie_continuity():
+    """On simplex ranking-tie planes (x0 == z0) the two possible corner
+    decompositions must agree EXACTLY — this is why the falloff cutoff is
+    0.5, not Perlin's 0.6 (see ops/noise.py corner()). Verified by
+    perturbing inputs by 1 ulp across the tie and demanding the value move
+    by O(ulp), not O(1e-4)."""
+    import numpy as np
+
+    from vrv_tpu.ops.noise import simplex3
+
+    rng = np.random.default_rng(1)
+    # x == z puts the skewed displacement on the x0 == z0 tie plane
+    x = rng.uniform(-5, 5, 4000).astype(np.float32)
+    y = rng.uniform(-5, 5, 4000).astype(np.float32)
+    v0 = np.asarray(simplex3(x, y, x))
+    up = np.nextafter(x, np.float32(np.inf), dtype=np.float32)
+    dn = np.nextafter(x, np.float32(-np.inf), dtype=np.float32)
+    v_up = np.asarray(simplex3(up, y, x))
+    v_dn = np.asarray(simplex3(dn, y, x))
+    # crossing the tie flips the decomposition; with cutoff 0.5 the field
+    # is continuous there, so a 1-ulp step moves the value by < 1e-5
+    assert np.abs(v_up - v0).max() < 1e-5
+    assert np.abs(v_dn - v0).max() < 1e-5

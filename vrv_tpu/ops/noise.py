@@ -14,20 +14,25 @@ We implement classic 3D simplex noise (skew factor 1/3, unskew 1/6,
 thresholds the field at 0.2 so the visual character, not the exact field,
 is what carries over; documented delta vs. the reference).
 
-The permutation table is derived from the seed with a Fisher-Yates
-shuffle, host-side, and closed over as a constant so the whole generator
-jits to a single fused XLA program.
+The lattice hash is ARITHMETIC (xxhash-style integer avalanche), not a
+permutation table: on TPU a per-point table lookup lowers to a scalar-loop
+gather (~8 ns/element, docs/PERF.md) while integer multiply/xor/shift run
+dense on the VPU. That makes the noise — and therefore worldgen occupancy —
+evaluable inside a ray-marching loop with ZERO memory traffic, which is
+what the procedural tracer (ops/dda_proc.py) is built on. As a bonus the
+hash has no 256-cell period (the classic perm table wraps at 256 lattice
+units).
 """
 
 from __future__ import annotations
 
-import functools
+import numpy as np
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-# 12 edge-centre gradients of a cube (Perlin's simplex gradient set).
+# 12 edge-centre gradients of a cube (Perlin's simplex gradient set), used
+# only by tests as the oracle for the branchless gradient selection below.
 _GRAD3 = np.array(
     [
         [1, 1, 0], [-1, 1, 0], [1, -1, 0], [-1, -1, 0],
@@ -40,21 +45,61 @@ _GRAD3 = np.array(
 _F3 = 1.0 / 3.0
 _G3 = 1.0 / 6.0
 
+# Upper bound on |grad simplex3| w.r.t. its input coords (one axis unit =
+# one lattice unit). Empirical sup over 150K autodiff samples is ~5.96
+# (p99.99 ~5.85); the margin covers sampling sparsity.
+# tests/test_misc.py::test_noise_lipschitz re-checks the empirical sup
+# against this bound.
+LIPSCHITZ = 7.0
 
-@functools.lru_cache(maxsize=32)
-def _perm_table(seed: int) -> np.ndarray:
-    rng = np.random.default_rng((seed * 0x9E3779B97F4A7C15 + 0x632BE59BD9B4E019) & (2**64 - 1))
-    p = rng.permutation(256).astype(np.int32)
-    return np.concatenate([p, p])
+
+def _seed_mix(seed: int) -> int:
+    """Host-side: derive a 32-bit hash offset from the python seed."""
+    return (seed * 0x9E3779B97F4A7C15 + 0x632BE59BD9B4E019) >> 17 & 0xFFFFFFFF
+
+
+def _grad_index(ii, jj, kk, seed_mix):
+    """uint32 avalanche hash of a lattice point -> gradient index in [0,12).
+
+    Pure integer multiply/xor/shift — no table, no gather.
+    """
+    u32 = jnp.uint32
+    h = (
+        ii.astype(u32) * u32(0x9E3779B1)
+        ^ jj.astype(u32) * u32(0x85EBCA77)
+        ^ kk.astype(u32) * u32(0xC2B2AE3D)
+        ^ u32(seed_mix)
+    )
+    h = h * u32(0x27D4EB2F)
+    h = h ^ (h >> u32(15))
+    h = h * u32(0x2C1B3C6D)
+    h = h ^ (h >> u32(13))
+    # map the top 16 bits uniformly onto [0, 12)
+    return (((h >> u32(16)) * u32(12)) >> u32(16)).astype(jnp.int32)
+
+
+def _grad_dot(gi, cx, cy, cz):
+    """dot(_GRAD3[gi], (cx, cy, cz)) branchlessly (no table lookup).
+
+    _GRAD3 layout: group g = gi >> 2 zeroes one axis; the two live axes get
+    signs (1 - 2*(gi & 1), 1 - 2*((gi >> 1) & 1)).
+    """
+    s1 = 1.0 - 2.0 * (gi & 1).astype(jnp.float32)
+    s2 = 1.0 - 2.0 * ((gi >> 1) & 1).astype(jnp.float32)
+    g0 = gi < 4
+    g1 = (gi >= 4) & (gi < 8)
+    a = jnp.where(g0 | g1, cx, cy)
+    b = jnp.where(g0, cy, cz)
+    return s1 * a + s2 * b
 
 
 def simplex3(x, y, z, seed: int = 0):
     """Classic 3D simplex noise at float coords; returns values in ~[-1, 1].
 
-    Accepts arrays of any (broadcastable) shape; fully vectorized.
+    Accepts arrays of any (broadcastable) shape; fully vectorized, and —
+    by design — free of gathers (see module docstring).
     """
-    perm = jnp.asarray(_perm_table(seed))
-    grad = jnp.asarray(_GRAD3)
+    seed_mix = _seed_mix(seed)
 
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
@@ -91,12 +136,12 @@ def simplex3(x, y, z, seed: int = 0):
     y3 = y0 - 1.0 + 3.0 * _G3
     z3 = z0 - 1.0 + 3.0 * _G3
 
-    ii = (i.astype(jnp.int32)) & 255
-    jj = (j.astype(jnp.int32)) & 255
-    kk = (k.astype(jnp.int32)) & 255
+    ii = i.astype(jnp.int32)
+    jj = j.astype(jnp.int32)
+    kk = k.astype(jnp.int32)
 
     def gi(di, dj, dk):
-        return perm[ii + di + perm[jj + dj + perm[kk + dk]]] % 12
+        return _grad_index(ii + di, jj + dj, kk + dk, seed_mix)
 
     g0 = gi(0, 0, 0)
     g1 = gi(i1.astype(jnp.int32), j1.astype(jnp.int32), k1.astype(jnp.int32))
@@ -104,10 +149,16 @@ def simplex3(x, y, z, seed: int = 0):
     g3 = gi(1, 1, 1)
 
     def corner(gidx, cx, cy, cz):
-        tt = 0.6 - cx * cx - cy * cy - cz * cz
+        # falloff cutoff 0.5 (not Perlin's 0.6): with 0.5 the differing
+        # corner's contribution vanishes exactly on simplex tie planes, so
+        # the two possible decompositions at a ranking tie agree to the bit
+        # and 1-ulp fusion drift between differently-compiled evaluations
+        # of this function cannot produce O(1e-4) value jumps (verified in
+        # tests/test_misc.py::test_noise_tie_continuity). Critical for the
+        # procedural tracer's worldgen-recompute contract (ops/dda_proc.py).
+        tt = 0.5 - cx * cx - cy * cy - cz * cz
         tt = jnp.maximum(tt, 0.0)
-        gv = grad[gidx]
-        dot = gv[..., 0] * cx + gv[..., 1] * cy + gv[..., 2] * cz
+        dot = _grad_dot(gidx, cx, cy, cz)
         return (tt * tt) * (tt * tt) * dot
 
     n = (
@@ -116,8 +167,9 @@ def simplex3(x, y, z, seed: int = 0):
         + corner(g2, x2, y2, z2)
         + corner(g3, x3, y3, z3)
     )
-    # 32 scales classic simplex to ~[-1, 1]; 0.864 ~ OpenSimplex amplitude
-    return 32.0 * 0.864 * n
+    # 76.7 scales cutoff-0.5 simplex to ~[-1, 1] (Gustavson's constant;
+    # empirical max 0.9995 over 1M samples); 0.864 ~ OpenSimplex amplitude
+    return 76.7 * 0.864 * n
 
 
 def fbm3(x, y, z, seed: int = 0, octaves: int = 1, lacunarity: float = 2.0, gain: float = 0.5):
