@@ -1,0 +1,58 @@
+"""Pallas procedural-trace kernel vs the XLA tracer (interpret mode).
+
+The kernel must be BIT-identical to ops/dda_proc.trace_proc on edit-free
+worldgen scenes — same march formulas, same noise math (the kernel inlines
+ops/noise.simplex3 verbatim apart from seed prefolding).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vrv_tpu.config import WorldConfig
+from vrv_tpu.ops.dda_proc import ProcStatic, trace_proc
+from vrv_tpu.ops.pallas.trace_proc import trace_proc_pallas
+
+
+def _ps(block_table, wc, shape):
+    return ProcStatic(
+        seed=wc.seed, noise_scale=wc.noise_scale, y_falloff=wc.y_falloff,
+        threshold=wc.threshold, origin=tuple(wc.origin), shape=shape,
+        grass=int(block_table.block_idx("grass")),
+        stone=int(block_table.block_idx("stone")),
+        air=int(block_table.air), n_edits=0, use_coarse=False,
+    )
+
+
+def test_pallas_matches_xla_tracer(block_table):
+    g = 32
+    wc = WorldConfig(size=(g, g, g), origin=(-g // 2, -g // 2, -g // 2), seed=0)
+    ps = _ps(block_table, wc, (g, g, g))
+    o = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(1), (4000, 3), minval=-10.0, maxval=g + 10.0),
+        np.float32,
+    )
+    d = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (4000, 3)), np.float32)
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    # include degenerate + axis-aligned rays (padding/edge classes)
+    d[0] = 0
+    d[1] = [1, 0, 0]
+    d[2] = [0, -1, 0]
+    ref = trace_proc(ps, jnp.asarray(o), jnp.asarray(d))
+    got = trace_proc_pallas(ps, jnp.asarray(o), jnp.asarray(d), interpret=True)
+    for f in ("hit", "t", "block", "face", "entering"):
+        a, b = np.asarray(getattr(ref, f)), np.asarray(getattr(got, f))
+        assert (a == b).all(), f"{f}: {(a != b).sum()} mismatches"
+    assert (np.asarray(ref.cell) == np.asarray(got.cell)).all()
+
+
+def test_pallas_rejects_edits(block_table):
+    g = 16
+    wc = WorldConfig(size=(g, g, g), origin=(0, 0, 0), seed=0)
+    ps = _ps(block_table, wc, (g, g, g))._replace(n_edits=16)
+    o = jnp.zeros((8, 3), jnp.float32)
+    d = jnp.ones((8, 3), jnp.float32)
+    with pytest.raises(ValueError, match="edit-free"):
+        trace_proc_pallas(ps, o, d, interpret=True)

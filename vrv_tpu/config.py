@@ -45,13 +45,23 @@ class RenderConfig:
     enable_nee: bool = True       # do_nee flag, pathtrace_shader.rs:924 passes true
     # per-ray RNG: 'murmur3' (bit-exact with the reference) or 'pcg'
     rng: str = "murmur3"
-    # voxel tracer: 'rows' = 8-cell row fetches packed along each ray's
-    # dominant axis (pack_rows_3axis; fastest measured on TPU v5e, ~15%
-    # over 'skip' at the headline config), 'skip' = per-cell DDA with
-    # distance-field skipping, 'exact' = plain DDA (oracle). 'rows' falls
-    # back to 'skip' when no row table exists (grid depth not a multiple
-    # of the row width).
+    # voxel tracer: 'proc' = gather-free procedural re-evaluation of the
+    # worldgen function per step (ops/dda_proc.py; falls back to 'rows'
+    # when the scene's grid is not worldgen+edits-derived), 'rows' =
+    # 8-cell row fetches packed along each ray's dominant axis
+    # (pack_rows_3axis), 'skip' = per-cell DDA with distance-field
+    # skipping, 'exact' = plain DDA (oracle). 'rows' falls back to 'skip'
+    # when no row table exists (grid depth not a multiple of the row
+    # width).
     tracer: str = "rows"
+    # with tracer='proc': consult the coarse 8^3-block distance table for
+    # multi-cell air skips (one-hot MXU read). Off = pure fine stepping.
+    proc_coarse: bool = True
+    # with tracer='proc': 'xla' = lax.while_loop tracer (edit-capable,
+    # CPU-runnable), 'pallas' = VMEM-resident Mosaic kernel
+    # (ops/pallas/trace_proc.py; edit-free worlds, TPU only — falls back
+    # to 'xla' when edits exist)
+    proc_backend: str = "xla"
     # conservative per-tile cone march that advances primary rays through
     # proven-empty space before the real trace (ops/dda.beam_march,
     # ~15% frame time on v5e). Never skips a hit; may flip rays passing
@@ -127,10 +137,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--grid", type=int, default=128, help="cubic grid side")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mode", choices=["megakernel", "wavefront"], default="megakernel")
-    p.add_argument("--tracer", choices=["rows", "skip", "exact"], default="rows")
+    p.add_argument("--tracer", choices=["proc", "rows", "skip", "exact"], default="rows")
     p.add_argument("--no-beam", action="store_true",
                    help="disable the primary-ray beam pre-pass (debugging)")
     p.add_argument("--frames", type=int, default=1)
+    p.add_argument("--frames-in-flight", type=int, default=3,
+                   help="async dispatch depth (reference keeps 3 swapchain "
+                        "images in flight, interactive_rendering.rs:155-172); "
+                        "1 = synchronous")
     p.add_argument("--out", type=str, default=None, help="PNG output path")
     p.add_argument("--no-nee", action="store_true")
     p.add_argument("--progressive", action="store_true")

@@ -50,6 +50,8 @@ def render_samples(
     local_height: int = 0,
     s0=0,
     local_spp: int = 0,
+    proc_static=None,
+    proc=None,
 ) -> jax.Array:
     """Render linear radiance per sample: (spp, H, W, 3) float32.
 
@@ -106,7 +108,22 @@ def render_samples(
         # (reference README.md:40-43)
         with jax.named_scope(f"trace_b{bounce}"):
             o_tr = o + adv[:, None] * d if (bounce == 0 and adv is not None) else o
-            if cfg.tracer == "rows" and rows is not None:
+            if cfg.tracer == "proc" and proc_static is not None:
+                if cfg.proc_backend == "pallas" and proc_static.n_edits == 0:
+                    from vrv_tpu.ops.pallas.trace_proc import trace_proc_pallas
+
+                    tr = trace_proc_pallas(
+                        proc_static, o_tr, d, t_min=cfg.t_min, t_max=cfg.t_max,
+                        pd=proc,
+                    )
+                else:
+                    from vrv_tpu.ops.dda_proc import trace_proc
+
+                    tr = trace_proc(
+                        proc_static._replace(use_coarse=cfg.proc_coarse),
+                        o_tr, d, t_min=cfg.t_min, t_max=cfg.t_max, pd=proc,
+                    )
+            elif (cfg.tracer in ("rows", "proc")) and rows is not None:
                 from vrv_tpu.ops.dda_rows import trace_rows_auto as trace_rows
 
                 tr = trace_rows(
@@ -175,10 +192,12 @@ def pack_bgra(pixel_color: jax.Array) -> jax.Array:
 def render_frame(
     grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows,
     eye, front, right, up, frame, cfg: RenderConfig,
+    proc_static=None, proc=None,
 ) -> jax.Array:
     """Full frame: average samples, pack BGRA u8 (H, W, 4)."""
     samples = render_samples(
         grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows,
         eye, front, right, up, frame, cfg,
+        proc_static=proc_static, proc=proc,
     )
     return pack_bgra(samples.mean(axis=0))

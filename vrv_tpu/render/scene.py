@@ -97,8 +97,11 @@ class Scene:
         self._emissive_blocks = np.nonzero(
             (self.table.texture_luminances.reshape(self.table.n_blocks, 6) > 0).any(1)
         )[0]
+        self._pristine: Optional[np.ndarray] = None  # worldgen(world_cfg) cache
+        self._pristine_key = None
         self._rebuild_lights()
         self._rebuild_dist()
+        self._sync_proc()
         self.instances_device: Optional[dict] = None
         self.tlas_rebuilds = 0  # observability: analog of TLAS dirty rebuilds
 
@@ -156,6 +159,78 @@ class Scene:
             self.rows = None
 
     # ------------------------------------------------------------------
+    # procedural tracer bundle (ops/dda_proc.py)
+    # ------------------------------------------------------------------
+
+    # beyond this many deviations from pristine worldgen the O(n_edits)
+    # per-step edit compare stops paying and the proc tracer is disabled
+    # (render falls back to the 'rows' grid tracer)
+    PROC_EDIT_CAP = 64
+
+    def _sync_proc(self) -> None:
+        """(Re)derive the procedural-tracer view of the current grid.
+
+        The grid qualifies whenever it equals the tracer's own worldgen
+        prediction plus at most PROC_EDIT_CAP cell edits — true for
+        generated scenes, edited scenes, and streamed windows alike. The
+        edit list is the diff, which also absorbs any near-threshold cells
+        where XLA fusion drift rounds the density differently between the
+        worldgen program and the tracer (see dda_proc.worldgen_blocks).
+        """
+        from vrv_tpu.ops import dda_proc
+
+        wc = self.world_cfg
+        grid_np = np.asarray(self.grid)
+        key = (tuple(wc.origin), grid_np.shape, wc.seed)
+        ps0 = dda_proc.ProcStatic(
+            seed=wc.seed, noise_scale=wc.noise_scale, y_falloff=wc.y_falloff,
+            threshold=wc.threshold, origin=tuple(int(x) for x in wc.origin),
+            shape=grid_np.shape,
+            grass=int(self.table.block_idx("grass")),
+            stone=int(self.table.block_idx("stone")),
+            air=int(self.table.air), n_edits=0,
+        )
+        if self._pristine_key != key:
+            xs, ys, zs = np.meshgrid(
+                *[np.arange(s, dtype=np.int32) for s in grid_np.shape], indexing="ij"
+            )
+            self._pristine = np.asarray(
+                jax.jit(dda_proc.worldgen_blocks, static_argnums=(0,))(
+                    ps0, jnp.asarray(xs.ravel()), jnp.asarray(ys.ravel()),
+                    jnp.asarray(zs.ravel()),
+                )
+            ).reshape(grid_np.shape)
+            self._pristine_key = key
+        diff = np.argwhere(self._pristine != grid_np)
+        if len(diff) > self.PROC_EDIT_CAP:
+            self.proc_static = None
+            self.proc_arrays = None
+            return
+        n = len(diff)
+        cap = 0 if n == 0 else max(16, 1 << (n - 1).bit_length())
+        cells = np.full((cap, 3), -(1 << 20), np.int32)  # sentinel: never matches
+        blocks = np.full(cap, self.table.air, np.uint8)
+        solidv = np.zeros(cap, bool)
+        transl = np.ones(cap, bool)
+        for i, c in enumerate(diff):
+            b = int(grid_np[tuple(c)])
+            cells[i] = c
+            blocks[i] = b
+            solidv[i] = b != self.table.air
+            transl[i] = bool(self.table.translucent[b])
+        self.proc_static = ps0._replace(n_edits=cap)
+        self.proc_arrays = {
+            "coarse": jnp.asarray(dda_proc.build_coarse_dist(grid_np, self.table.air)),
+        }
+        if cap:
+            self.proc_arrays.update(
+                edit_cells=jnp.asarray(cells),
+                edit_blocks=jnp.asarray(blocks),
+                edit_solid=jnp.asarray(solidv),
+                edit_translucent=jnp.asarray(transl),
+            )
+
+    # ------------------------------------------------------------------
     # light structure
     # ------------------------------------------------------------------
 
@@ -199,6 +274,7 @@ class Scene:
         self.tlas_rebuilds += 1
         self._rebuild_dist()
         self._rebuild_lights()
+        self._sync_proc()
 
     def set_block(self, global_coords, block_id: int) -> bool:
         """Functional grid edit; returns False if outside the world."""
@@ -213,6 +289,7 @@ class Scene:
         self._rebuild_dist()
         if touches:
             self._rebuild_lights()
+        self._sync_proc()
         return True
 
     # ------------------------------------------------------------------
@@ -222,9 +299,18 @@ class Scene:
     def camera_to_local(self, eye) -> jnp.ndarray:
         return jnp.asarray(np.asarray(eye, np.float32) - self.origin)
 
+    def _proc_for(self, cfg: RenderConfig):
+        """(proc_static, proc_arrays) when cfg wants — and the scene can
+        back — the procedural tracer; (None, None) otherwise (the render
+        path then falls to the grid tracers)."""
+        if cfg.tracer == "proc" and self.proc_static is not None:
+            return self.proc_static, self.proc_arrays
+        return None, None
+
     def render(self, eye, front, right, up, frame: int, cfg: RenderConfig) -> jax.Array:
         """One frame -> (H, W, 4) u8 BGRA on device."""
-        fn = _jit_render(cfg, self.bvh_max_depth, self.bvh_device is not None)
+        ps, pa = self._proc_for(cfg)
+        fn = _jit_render(cfg, self.bvh_max_depth, self.bvh_device is not None, ps)
         return fn(
             self.grid,
             self.translucent,
@@ -233,6 +319,7 @@ class Scene:
             self.dist,
             self.instances_device,
             self.rows,
+            pa,
             self.camera_to_local(eye),
             jnp.asarray(front, jnp.float32),
             jnp.asarray(right, jnp.float32),
@@ -241,7 +328,8 @@ class Scene:
         )
 
     def render_samples(self, eye, front, right, up, frame: int, cfg: RenderConfig) -> jax.Array:
-        fn = _jit_render_samples(cfg, self.bvh_max_depth, self.bvh_device is not None)
+        ps, pa = self._proc_for(cfg)
+        fn = _jit_render_samples(cfg, self.bvh_max_depth, self.bvh_device is not None, ps)
         return fn(
             self.grid,
             self.translucent,
@@ -250,6 +338,7 @@ class Scene:
             self.dist,
             self.instances_device,
             self.rows,
+            pa,
             self.camera_to_local(eye),
             jnp.asarray(front, jnp.float32),
             jnp.asarray(right, jnp.float32),
@@ -274,35 +363,43 @@ def _rng_mode(mode: str):
 
 
 @functools.lru_cache(maxsize=64)
-def _jit_render(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool):
-    def fn(grid, translucent, materials, bvh, dist, inst, rows, eye, front, right, up, frame):
+def _jit_render(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool,
+                proc_static=None):
+    def fn(grid, translucent, materials, bvh, dist, inst, rows, proc,
+           eye, front, right, up, frame):
         with _rng_mode(cfg.rng):
             return _fn_inner(grid, translucent, materials, bvh, dist, inst, rows,
-                             eye, front, right, up, frame)
+                             proc, eye, front, right, up, frame)
 
-    def _fn_inner(grid, translucent, materials, bvh, dist, inst, rows, eye, front, right, up, frame):
+    def _fn_inner(grid, translucent, materials, bvh, dist, inst, rows, proc,
+                  eye, front, right, up, frame):
         if cfg.mode == "wavefront":
             from vrv_tpu.render import wavefront
 
             return wavefront.render_frame_wavefront(
                 grid, translucent, materials, bvh if has_lights else None,
                 bvh_max_depth, dist, inst, rows, eye, front, right, up, frame, cfg,
+                proc_static=proc_static, proc=proc,
             )
         return megakernel.render_frame(
             grid, translucent, materials, bvh if has_lights else None,
             bvh_max_depth, dist, inst, rows, eye, front, right, up, frame, cfg,
+            proc_static=proc_static, proc=proc,
         )
 
     return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=64)
-def _jit_render_samples(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool):
-    def fn(grid, translucent, materials, bvh, dist, inst, rows, eye, front, right, up, frame):
+def _jit_render_samples(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool,
+                        proc_static=None):
+    def fn(grid, translucent, materials, bvh, dist, inst, rows, proc,
+           eye, front, right, up, frame):
         with _rng_mode(cfg.rng):
             return megakernel.render_samples(
                 grid, translucent, materials, bvh if has_lights else None,
                 bvh_max_depth, dist, inst, rows, eye, front, right, up, frame, cfg,
+                proc_static=proc_static, proc=proc,
             )
 
     return jax.jit(fn)

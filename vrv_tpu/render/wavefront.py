@@ -53,6 +53,8 @@ def render_samples_wavefront(
     eye, front, right, up, frame,
     cfg: RenderConfig,
     with_occupancy: bool = False,
+    proc_static=None,
+    proc=None,
 ):
     """Sample-summed radiance (H, W, 3) float32 (divide by spp for the mean)."""
     W, H, S = cfg.width, cfg.height, cfg.samples_per_pixel
@@ -91,7 +93,14 @@ def render_samples_wavefront(
     def bounce_segment(args):
         """Trace+shade one segment; returns updated segment state."""
         (seg_o, seg_d, seg_seed, seg_T, bounce) = args
-        if cfg.tracer == "rows" and rows is not None:
+        if cfg.tracer == "proc" and proc_static is not None:
+            from vrv_tpu.ops.dda_proc import trace_proc
+
+            tr = trace_proc(
+                proc_static._replace(use_coarse=cfg.proc_coarse),
+                seg_o, seg_d, t_min=cfg.t_min, t_max=cfg.t_max, pd=proc,
+            )
+        elif (cfg.tracer in ("rows", "proc")) and rows is not None:
             from vrv_tpu.ops.dda_rows import trace_rows_auto as trace_rows
 
             tr = trace_rows(
@@ -193,9 +202,11 @@ def render_samples_wavefront(
 def render_frame_wavefront(
     grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows,
     eye, front, right, up, frame, cfg: RenderConfig,
+    proc_static=None, proc=None,
 ) -> jax.Array:
     fb = render_samples_wavefront(
         grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows,
         eye, front, right, up, frame, cfg,
+        proc_static=proc_static, proc=proc,
     )
     return pack_bgra(fb / cfg.samples_per_pixel)
