@@ -1,0 +1,292 @@
+"""Consolidated TPU probe harness (replaces tools/probe_tpu{,2..8}.py).
+
+One parameterized entry point that reproduces every measurement cited in
+docs/PERF.md. Runs on whatever device JAX_PLATFORMS selects (the real TPU
+by default in this image; pass JAX_PLATFORMS=cpu for a smoke run).
+
+Subcommands:
+  frame    — full headline-config frame time per tracer/mode
+             (the docs/PERF.md tracer-lineage table)
+  trace    — one standalone 1-spp trace pass per tracer (isolates the
+             tracer from shading/NEE)
+  gather   — the primitive cost model: random gather / scatter / sort /
+             one-hot matmul rates (docs/PERF.md cost-model table)
+  noise    — arithmetic-hash simplex throughput + empirical Lipschitz sup
+  edits    — proc-tracer frame cost vs edit-list size (0/16/64)
+
+Timing convention: median of interleaved repetitions from one process —
+the tunneled v5e drifts +-5-10% between runs (docs/PERF.md), so only
+within-process comparisons are trusted.
+
+Usage: python tools/probe.py frame --tracers rows,proc --spp 8
+"""
+
+import argparse
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def _init_jax():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp")
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    print("device:", jax.devices()[0], flush=True)
+    return jax
+
+
+def _bench_scene(g=128):
+    from vrv_tpu.config import WorldConfig
+    from vrv_tpu.render.scene import Scene
+
+    wc = WorldConfig(size=(g, g, g), origin=(-g // 2, -g // 2, -g // 2), seed=0)
+    scene = Scene(wc)
+    grid_np = np.asarray(scene.grid)
+    solid = scene.table.solid[grid_np]
+    ys = np.nonzero(solid[g // 2, :, g // 2])[0]
+    y_surf = (int(ys.max()) if len(ys) else g // 2) + wc.origin[1]
+    eye = np.array([0.0, y_surf + 12.0, -24.0], np.float32)
+    front = np.array([0.0, -0.35, 0.936], np.float32)
+    right = np.array([-1.0, 0.0, 0.0], np.float32)
+    up = np.array([0.0, -0.936, -0.35], np.float32)
+    return scene, (eye, front, right, up)
+
+
+def _median_time(fns, n=5):
+    """Interleaved medians: fns is {name: nullary}; returns {name: seconds}."""
+    for f in fns.values():  # warmup / compile
+        np.asarray(f())
+    samples = {k: [] for k in fns}
+    for _ in range(n):
+        for k, f in fns.items():
+            t0 = time.perf_counter()
+            np.asarray(f())
+            samples[k].append(time.perf_counter() - t0)
+    return {k: statistics.median(v) for k, v in samples.items()}
+
+
+# ---------------------------------------------------------------------------
+
+
+def cmd_frame(args):
+    _init_jax()
+    from vrv_tpu.config import RenderConfig
+    from vrv_tpu.render.megakernel import pack_bgra
+
+    scene, cam = _bench_scene(args.grid)
+    chunks = args.spp  # 1-spp passes accumulated on device (bench.py shape)
+    fns = {}
+    for tracer in args.tracers.split(","):
+        cfg = RenderConfig(
+            width=args.width, height=args.height, samples_per_pixel=1,
+            max_bounces=args.bounces, tracer=tracer, mode=args.mode,
+            proc_coarse=not args.no_coarse,
+        )
+
+        def frame(f=0, cfg=cfg):
+            acc = None
+            for c in range(chunks):
+                smp = scene.render_samples(*cam, int(f) * chunks + c, cfg).sum(axis=0)
+                acc = smp if acc is None else acc + smp
+            return pack_bgra(acc / chunks)
+
+        t0 = time.perf_counter()
+        np.asarray(frame())
+        print(f"  {tracer}: compile+first {time.perf_counter() - t0:6.1f}s", flush=True)
+        fns[tracer] = frame
+    for k, dt in _median_time(fns, n=args.reps).items():
+        print(f"  {k}: {dt * 1e3:8.1f} ms/frame = {1 / dt:5.2f} fps", flush=True)
+
+
+def cmd_trace(args):
+    jax = _init_jax()
+    import jax.numpy as jnp
+
+    from vrv_tpu.ops.camera_rays import raygen
+
+    scene, cam = _bench_scene(args.grid)
+    eye_l = scene.camera_to_local(cam[0])
+    o, d, _ = raygen(
+        eye_l, *(jnp.asarray(c, jnp.float32) for c in cam[1:]),
+        args.width, args.height, 1, jnp.uint32(0),
+    )
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    fns = {}
+    for tracer in args.tracers.split(","):
+        if tracer == "proc":
+            from vrv_tpu.ops.dda_proc import trace_proc
+
+            ps = scene.proc_static._replace(use_coarse=not args.no_coarse)
+            pa = scene.proc_arrays
+            fn = jax.jit(lambda o, d: trace_proc(ps, o, d, pd=pa).t)
+        elif tracer == "rows":
+            from vrv_tpu.ops.dda_rows import trace_rows_auto
+
+            fn = jax.jit(
+                lambda o, d: trace_rows_auto(
+                    scene.grid.shape, scene.rows, scene.translucent.shape[0], o, d
+                ).t
+            )
+        elif tracer == "skip":
+            from vrv_tpu.ops import dda
+
+            fn = jax.jit(
+                lambda o, d: dda.trace_skip(
+                    scene.grid, scene.dist, scene.translucent, o, d
+                ).t
+            )
+        else:
+            raise SystemExit(f"unknown tracer {tracer}")
+        t0 = time.perf_counter()
+        np.asarray(fn(o, d))
+        print(f"  {tracer}: compile+first {time.perf_counter() - t0:6.1f}s", flush=True)
+        fns[tracer] = lambda fn=fn: fn(o, d)
+    n_rays = o.shape[0]
+    for k, dt in _median_time(fns, n=args.reps).items():
+        print(
+            f"  {k}: {dt * 1e3:8.1f} ms/pass  {n_rays / dt / 1e6:7.1f} M rays/s",
+            flush=True,
+        )
+
+
+def cmd_gather(args):
+    _init_jax()
+    import jax
+    import jax.numpy as jnp
+
+    n = args.n
+    table = jnp.arange(1 << 19, dtype=jnp.int32)  # 2 MB
+    idx = jnp.asarray(np.random.default_rng(0).integers(0, 1 << 19, n), jnp.int32)
+    vals = jnp.asarray(np.random.default_rng(1).standard_normal(n), jnp.float32)
+    onehot_tbl = jnp.asarray(
+        np.random.default_rng(2).standard_normal((256, 16)), jnp.bfloat16
+    )
+    rows256 = (idx & 255)
+
+    gather = jax.jit(lambda i: jnp.take(table, i, axis=0).sum())
+    scatter = jax.jit(lambda v, i: jnp.zeros(1 << 19, jnp.float32).at[i].add(v).sum())
+    sort = jax.jit(lambda v: jax.lax.sort((v, idx), num_keys=1)[0][-1])
+
+    def onehot_fn(r):
+        oh = (r[:, None] == jnp.arange(256, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            oh, onehot_tbl, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).sum()
+
+    onehot = jax.jit(onehot_fn)
+
+    fns = {
+        "gather": lambda: gather(idx),
+        "scatter": lambda: scatter(vals, idx),
+        "sort": lambda: sort(vals),
+        "onehot(256)@(256,16)": lambda: onehot(rows256),
+    }
+    for k, dt in _median_time(fns, n=args.reps).items():
+        print(f"  {k}: {dt / n * 1e9:7.2f} ns/elt  ({dt * 1e3:.2f} ms @ {n})", flush=True)
+
+
+def cmd_noise(args):
+    _init_jax()
+    import jax
+    import jax.numpy as jnp
+
+    from vrv_tpu.ops.noise import LIPSCHITZ, simplex3
+
+    n = args.n
+    p = jax.random.uniform(jax.random.PRNGKey(0), (n, 3), minval=-60.0, maxval=60.0)
+    REP = 16
+
+    def stack(p):
+        # chain evals so the measurement is compute- not bandwidth-bound
+        v = simplex3(p[:, 0], p[:, 1], p[:, 2])
+        for i in range(REP - 1):
+            v = simplex3(p[:, 0] + v, p[:, 1], p[:, 2])
+        return v.sum()
+
+    f = jax.jit(stack)
+    dt = _median_time({"noise": lambda: f(p)}, n=args.reps)["noise"]
+    print(
+        f"  simplex3: {dt / (n * REP) * 1e9:6.2f} ns/eval "
+        f"({n * REP / dt / 1e9:.2f} G evals/s)",
+        flush=True,
+    )
+    g = jax.jit(jax.vmap(jax.grad(lambda q: simplex3(q[0], q[1], q[2]))))(p[:200000])
+    gn = np.linalg.norm(np.asarray(g), axis=-1)
+    print(f"  sup|grad| {gn.max():.3f} (bound {LIPSCHITZ})", flush=True)
+
+
+def cmd_edits(args):
+    _init_jax()
+    from vrv_tpu.config import RenderConfig
+    from vrv_tpu.render.megakernel import pack_bgra
+
+    scene, cam = _bench_scene(args.grid)
+    lamp = scene.table.block_idx("lamp")
+    stone = scene.table.block_idx("stone")
+    cfg = RenderConfig(
+        width=args.width, height=args.height, samples_per_pixel=1,
+        max_bounces=args.bounces, tracer="proc",
+    )
+    fns = {}
+    rng = np.random.default_rng(0)
+    for target in (0, 16, 64):
+        while (scene.proc_static.n_edits if scene.proc_static else 10 ** 9) < target:
+            c = rng.integers(8, args.grid - 8, 3) + np.asarray(scene.world_cfg.origin)
+            scene.set_block(c, lamp if rng.random() < 0.1 else stone)
+        if scene.proc_static is None:
+            print(f"  edits>{target}: proc disabled (cap)", flush=True)
+            continue
+        sc_cfg = cfg
+
+        def frame(scene=scene, cfg=sc_cfg):
+            return pack_bgra(scene.render_samples(*cam, 0, cfg).sum(axis=0))
+
+        t0 = time.perf_counter()
+        np.asarray(frame())
+        print(
+            f"  n_edits={scene.proc_static.n_edits}: compile {time.perf_counter() - t0:5.1f}s",
+            flush=True,
+        )
+        fns[f"edits={scene.proc_static.n_edits}"] = frame
+        # measurements interleave below; scene keeps mutating per bucket, so
+        # snapshot the closure args via default-arg binding above
+        for k, dt in _median_time({k: v for k, v in fns.items() if str(scene.proc_static.n_edits) in k}, n=args.reps).items():
+            print(f"  {k}: {dt * 1e3:8.1f} ms/pass", flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in (
+        ("frame", cmd_frame), ("trace", cmd_trace), ("gather", cmd_gather),
+        ("noise", cmd_noise), ("edits", cmd_edits),
+    ):
+        sp = sub.add_parser(name)
+        sp.set_defaults(fn=fn)
+        sp.add_argument("--width", type=int, default=800)
+        sp.add_argument("--height", type=int, default=600)
+        sp.add_argument("--spp", type=int, default=8)
+        sp.add_argument("--bounces", type=int, default=4)
+        sp.add_argument("--grid", type=int, default=128)
+        sp.add_argument("--tracers", type=str, default="rows,proc")
+        sp.add_argument("--mode", type=str, default="megakernel")
+        sp.add_argument("--no-coarse", action="store_true")
+        sp.add_argument("--reps", type=int, default=5)
+        sp.add_argument("--n", type=int, default=1 << 22)
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

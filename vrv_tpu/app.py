@@ -63,36 +63,53 @@ def main(argv=None) -> int:
         * render_cfg.samples_per_pixel * render_cfg.max_bounces
     )
 
+    from collections import deque
+
+    from vrv_tpu.render.megakernel import pack_bgra
     from vrv_tpu.window import make_backend
 
     backend = make_backend(render_cfg.width, render_cfg.height)
 
-    img = None
+    # Frames-in-flight: JAX dispatch is asynchronous, so keeping a short
+    # queue of not-yet-fetched device frames overlaps render i+1..i+k with
+    # the host copy/present of frame i — the analog of the reference's 3
+    # swapchain images + deferred disposal ring
+    # (reference src/render_system/interactive_rendering.rs:155-172,
+    # scene.rs:202-206). Depth 1 = fully synchronous (old behavior).
+    inflight: deque = deque()
+    depth = max(1, args.frames_in_flight)
+
     accum = None
+    shown = None
+
+    def present(dev_frame):
+        nonlocal shown
+        shown = np.asarray(dev_frame)  # device sync happens here, k frames late
+        backend.present(shown)
+        meter.frame(rays=rays_per_frame)
+
     for i in range(args.frames):
         for ev in backend.poll_events():
             gw.handle_event(ev)
-        img = gw.step()
-        img.block_until_ready()
         if args.progressive:
-            # frame accumulation (the reference's postprocess slot, quirk Q2)
-            frame_f = np.asarray(img)[..., :3].astype(np.float64)
-            accum = frame_f if accum is None else accum + frame_f
-            shown = np.concatenate(
-                [
-                    (accum / (i + 1)).astype(np.uint8),
-                    np.full(frame_f.shape[:2] + (1,), 255, np.uint8),
-                ],
-                axis=-1,
-            )
+            # radiance-domain accumulation on device (bit-equal to
+            # models/pathtracer.PathTracer.render_progressive; quirk Q2) —
+            # NOT a mean of quantized u8 frames
+            smp = gw.step(radiance=True)
+            accum = smp if accum is None else accum + smp
+            frame_dev = pack_bgra(accum / (i + 1))
         else:
-            shown = np.asarray(img)
-        backend.present(shown)
-        meter.frame(rays=rays_per_frame)
+            frame_dev = gw.step()
+        inflight.append(frame_dev)
+        if len(inflight) >= depth:
+            present(inflight.popleft())
         if not backend.open:
             break
 
-    if args.out and img is not None:
+    while inflight:
+        present(inflight.popleft())
+
+    if args.out and shown is not None:
         save_png(args.out, shown)
         print(f"wrote {args.out}")
     return 0

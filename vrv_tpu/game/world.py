@@ -289,7 +289,11 @@ class GameWorld:
 
     # -- per-frame step (game_world.rs:235-290) --
 
-    def step(self, render: bool = True) -> Optional[np.ndarray]:
+    def step(self, render: bool = True, radiance: bool = False) -> Optional[np.ndarray]:
+        """One frame. With radiance=True the render half returns the
+        sample-mean linear radiance (H, W, 3) float32 on device instead of
+        the packed u8 frame — the input the progressive accumulator needs
+        (models/pathtracer.render_progressive semantics, quirk Q2)."""
         t0 = time.perf_counter()
         new_changes: List[WorldChange] = []
         for manager in self.managers:
@@ -313,7 +317,12 @@ class GameWorld:
             cfg = self.render_cfg.replace(
                 samples_per_pixel=self.camera.rendering_preferences().samples
             )
-            img = self.scene.render(eye, front, right, up, self.frame, cfg)
+            if radiance:
+                img = self.scene.render_samples(
+                    eye, front, right, up, self.frame, cfg
+                ).mean(axis=0)
+            else:
+                img = self.scene.render(eye, front, right, up, self.frame, cfg)
             self.last_frame = img
         self.frame += 1
         self.frame_stats = {
