@@ -210,3 +210,41 @@ def test_triangle_diagonal_split():
         c1 = tri1.mean(axis=0)
         assert c0[a_ax] + c0[b_ax] < 1.0
         assert c1[a_ax] + c1[b_ax] > 1.0
+
+
+def test_incremental_distance_field(block_table):
+    """update_distance_field == full rebuild after random add/remove edit
+    sequences, including cells at grid corners/edges (clamped boxes)."""
+    import jax.numpy as jnp
+
+    from vrv_tpu.config import WorldConfig
+    from vrv_tpu.game.chunk import generate_dense_grid
+    from vrv_tpu.ops.dda import build_distance_field, update_distance_field
+
+    g = 80  # > 4*cap+1 = 61 so the incremental path (not the tiny-grid
+    #         fallback) is what's exercised
+    wc = WorldConfig(size=(g, g, g), origin=(-g // 2, -g // 2, -g // 2), seed=0)
+    grid_np = np.array(generate_dense_grid(wc, block_table))
+    air = int(block_table.air)
+    stone = int(block_table.block_idx("stone"))
+    grid = jnp.asarray(grid_np)
+    dist = build_distance_field(grid, air)
+
+    rng = np.random.default_rng(0)
+    cells = [rng.integers(0, g, 3) for _ in range(6)]
+    # force edge/corner coverage
+    cells += [np.array([0, 0, 0]), np.array([g - 1, g - 1, g - 1]),
+              np.array([1, g - 2, 5]), np.array([g // 2, 0, g - 1])]
+    for c in cells:
+        old = int(grid_np[tuple(c)])
+        new = air if old != air else stone
+        grid_np[tuple(c)] = new
+        grid = jnp.asarray(grid_np)
+        dist = update_distance_field(
+            dist, grid, c, became_solid=(new != air), air_id=air
+        )
+        want = np.asarray(build_distance_field(grid, air))
+        got = np.asarray(dist)
+        assert (got == want).all(), (
+            f"cell {c} {old}->{new}: {(got != want).sum()} cells differ"
+        )

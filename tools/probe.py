@@ -88,7 +88,9 @@ def cmd_frame(args):
     for tracer in args.tracers.split(","):
         cfg = RenderConfig(
             width=args.width, height=args.height, samples_per_pixel=1,
-            max_bounces=args.bounces, tracer=tracer, mode=args.mode,
+            max_bounces=args.bounces, mode=args.mode,
+            tracer="proc" if tracer == "proc_pallas" else tracer,
+            proc_backend="pallas" if tracer == "proc_pallas" else "xla",
             proc_coarse=not args.no_coarse,
         )
 
@@ -129,6 +131,12 @@ def cmd_trace(args):
             ps = scene.proc_static._replace(use_coarse=not args.no_coarse)
             pa = scene.proc_arrays
             fn = jax.jit(lambda o, d: trace_proc(ps, o, d, pd=pa).t)
+        elif tracer == "proc_pallas":
+            from vrv_tpu.ops.pallas.trace_proc import trace_proc_pallas
+
+            ps = scene.proc_static
+            pa = scene.proc_arrays
+            fn = jax.jit(lambda o, d: trace_proc_pallas(ps, o, d, pd=pa).t)
         elif tracer == "rows":
             from vrv_tpu.ops.dda_rows import trace_rows_auto
 

@@ -27,6 +27,7 @@ Face indexing matches block.rs BlockFace: 0=left(-x) 1=right(+x)
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -295,6 +296,99 @@ def build_distance_field(grid: jax.Array, air_id: int, cap: int = 15) -> jax.Arr
         )
         dist = jnp.minimum(dist, (neighbour_min + 1).astype(jnp.uint8))
     return dist
+
+
+def _cheb_cone(box: int) -> np.ndarray:
+    """(box, box, box) int32 chebyshev distance from the box centre."""
+    r = box // 2
+    ax = np.abs(np.arange(box) - r)
+    return np.maximum.reduce(np.meshgrid(ax, ax, ax, indexing="ij")).astype(np.int32)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("cap",))
+def _dist_add_solid(dist, start, offset, cap: int):
+    """dist after a cell becomes renderable: min with the chebyshev cone.
+
+    start: box corner in grid coords; offset: edited cell's position inside
+    the box (both pre-clamped by the caller). Exact: a new solid at c can
+    only lower distances, to exactly min(old, cheb(p, c))."""
+    box = 2 * cap + 1
+    # chebyshev distance from the edited cell's in-box position, computed
+    # directly (the cone shifted to an off-centre apex when clamped)
+    ii = jnp.abs(jnp.arange(box, dtype=jnp.int32) - offset[0])
+    jj = jnp.abs(jnp.arange(box, dtype=jnp.int32) - offset[1])
+    kk = jnp.abs(jnp.arange(box, dtype=jnp.int32) - offset[2])
+    shifted = jnp.maximum(
+        jnp.maximum(ii[:, None, None], jj[None, :, None]), kk[None, None, :]
+    )
+    patch = jax.lax.dynamic_slice(dist, start, (box, box, box)).astype(jnp.int32)
+    patch = jnp.minimum(patch, shifted).astype(dist.dtype)
+    return jax.lax.dynamic_update_slice(dist, patch, start)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("air_id", "cap"))
+def _dist_recompute_box(dist, grid, start, inner_start, air_id: int, cap: int):
+    """Recompute the distance field in a (4cap+1)^3 box around an edit.
+
+    Needed when a cell stops rendering (distances can only grow, and only
+    within chebyshev radius cap of the edit; those values depend on solids
+    within 2cap of it, all inside the box — the big box always covers the
+    inner (2cap+1)^3 write-back region padded by cap or clipped at the
+    grid boundary, so every inner cell's full influencer neighbourhood is
+    available and the local result is exact)."""
+    big_box = 4 * cap + 1
+    inner_box = 2 * cap + 1
+    gbox = jax.lax.dynamic_slice(grid, start, (big_box,) * 3)
+    renders = gbox != jnp.uint8(air_id)
+    d = jnp.where(renders, 0, cap).astype(jnp.int32)
+    for _ in range(cap):
+        neighbour_min = -jax.lax.reduce_window(
+            -d, -cap, jax.lax.max,
+            window_dimensions=(3, 3, 3), window_strides=(1, 1, 1), padding="SAME",
+        )
+        d = jnp.minimum(d, neighbour_min + 1)
+    rel = inner_start - start
+    inner = jax.lax.dynamic_slice(d, (rel[0], rel[1], rel[2]), (inner_box,) * 3)
+    return jax.lax.dynamic_update_slice(
+        dist, inner.astype(dist.dtype), inner_start
+    )
+
+
+def update_distance_field(
+    dist: jax.Array,
+    grid: jax.Array,
+    cell,
+    became_solid: bool,
+    air_id: int,
+    cap: int = 15,
+) -> jax.Array:
+    """Incremental build_distance_field after a single-cell renderability
+    change at `cell` (grid must already hold the new value). Exact: equal
+    to a full rebuild (tests/test_dda.py::test_incremental_distance_field).
+
+    An edit at c only affects dist within chebyshev radius cap-1 of c
+    (values are capped at cap, so farther cells never depended on c).
+    """
+    X, Y, Z = dist.shape
+    size = np.asarray([X, Y, Z])
+    c = np.asarray(cell, np.int64)
+    box = 2 * cap + 1
+    big_box = 4 * cap + 1
+    if min(X, Y, Z) < big_box:
+        # tiny grids: full rebuild is already cheap
+        return build_distance_field(grid, air_id, cap)
+    if became_solid:
+        start = np.clip(c - cap, 0, size - box)
+        offset = c - start
+        return _dist_add_solid(
+            dist, jnp.asarray(start, jnp.int32), jnp.asarray(offset, jnp.int32), cap
+        )
+    start = np.clip(c - 2 * cap, 0, size - big_box)
+    inner_start = np.clip(c - cap, 0, size - box)
+    return _dist_recompute_box(
+        dist, grid, jnp.asarray(start, jnp.int32),
+        jnp.asarray(inner_start, jnp.int32), int(air_id), cap
+    )
 
 
 import os as _os

@@ -249,7 +249,9 @@ def _trace_kernel(
             jnp.where(rec, jnp.where(entering_hit, nx, scx), hx),
             jnp.where(rec, jnp.where(entering_hit, ny, scy), hy),
             jnp.where(rec, jnp.where(entering_hit, nz, scz), hz),
-            jnp.where(rec, entering_hit, entering),
+            # bitwise select: Mosaic rejects select_n on i1 vectors
+            # (legalizes through i8, then fails the i8->i1 trunci)
+            (rec & entering_hit) | (~rec & entering),
             steps + 1,
         )
 

@@ -135,14 +135,18 @@ class Scene:
         }
 
     def _rebuild_dist(self):
-        import os
-
         from vrv_tpu.ops.dda import build_distance_field
-        from vrv_tpu.ops.dda_rows import W, pack_rows, pack_rows_3axis
 
         self.dist = jax.jit(build_distance_field, static_argnums=(1,))(
             self.grid, int(self.table.air)
         )
+        self._repack_rows()
+
+    def _repack_rows(self):
+        import os
+
+        from vrv_tpu.ops.dda_rows import W, pack_rows, pack_rows_3axis
+
         w = int(os.environ.get("VRV_ROW_W", W))
         X, Y, Z = self.grid.shape
         if Z % w == 0 and X == Y == Z:
@@ -286,7 +290,25 @@ class Scene:
         touches = self._edit_touches_lights(cell, old, block_id)
         self.grid = _set_cell(self.grid, jnp.asarray(cell, jnp.int32), jnp.uint8(block_id))
         self.tlas_rebuilds += 1
-        self._rebuild_dist()
+        # incremental derived-structure update: a single-cell edit only
+        # moves the distance field within chebyshev radius cap of the cell
+        # (ops/dda.update_distance_field; exact vs the full rebuild), and
+        # the row repack is elementwise — vs the reference's re-mesh +
+        # BLAS/TLAS rebuild chain (chunk_manager.rs:331-392)
+        old_renders = old != self.table.air
+        new_renders = block_id != self.table.air
+        if old_renders != new_renders:
+            from vrv_tpu.ops.dda import update_distance_field
+
+            self.dist = update_distance_field(
+                self.dist, self.grid, cell, became_solid=new_renders,
+                air_id=int(self.table.air),
+            )
+            self._repack_rows()
+        elif old != block_id:
+            # renderability unchanged (e.g. stone -> lamp): dist is
+            # untouched, but the packed row words carry block ids
+            self._repack_rows()
         if touches:
             self._rebuild_lights()
         self._sync_proc()
