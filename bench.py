@@ -80,11 +80,49 @@ def main() -> int:
         file=sys.stderr,
     )
 
+    # --- the reference's other two published rows (README.md:8-9, :31) ---
+    def run_chunks(frame, chunks):
+        acc = None
+        for c in range(chunks):
+            smp = scene.render_samples(
+                eye, front, right, up, frame * chunks + c, cfg
+            ).sum(axis=0)
+            acc = smp if acc is None else acc + smp
+        return pack_bgra(acc / chunks)
+
+    # 128-spp converged (reference: 3 fps)
+    np.asarray(run_chunks(0, 128))
+    t0 = time.perf_counter()
+    np.asarray(run_chunks(1, 128))
+    np.asarray(run_chunks(2, 128))
+    conv_fps = 2 / (time.perf_counter() - t0)
+    print(f"converged 128spp: {conv_fps:.3f} fps (ref 3)", file=sys.stderr)
+
+    # wavefront vs megakernel at 4 spp / 4 bounces (reference README.md:31)
+    mode_fps = {}
+    for mode in ("megakernel", "wavefront"):
+        cfg44 = cfg.replace(samples_per_pixel=4, mode=mode)
+        f = lambda i: scene.render(eye, front, right, up, i, cfg44)
+        np.asarray(f(0))
+        t0 = time.perf_counter()
+        for i in range(4):
+            img = f(i + 1)
+        np.asarray(img)
+        mode_fps[mode] = 4 / (time.perf_counter() - t0)
+    print(
+        f"4spp/4b megakernel {mode_fps['megakernel']:.3f} fps, "
+        f"wavefront {mode_fps['wavefront']:.3f} fps", file=sys.stderr,
+    )
+
     print(json.dumps({
         "metric": "frames_per_sec_800x600_8spp_4bounce_128grid",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "converged_128spp_fps": round(conv_fps, 3),
+        "converged_128spp_vs_baseline": round(conv_fps / 3.0, 3),
+        "wavefront_4spp_4b_fps": round(mode_fps["wavefront"], 3),
+        "megakernel_4spp_4b_fps": round(mode_fps["megakernel"], 3),
     }))
     return 0
 

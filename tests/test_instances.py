@@ -85,3 +85,50 @@ def test_checkpoint_roundtrip(block_table, tmp_path):
     assert sc2.world_cfg == wc
     assert cam2.pitch == pytest.approx(0.3) and cam2.offset == pytest.approx(7.5)
     assert sc2.light_bvh.n_lights == sc.light_bvh.n_lights
+
+
+def test_emissive_instance_is_light(block_table):
+    """An uploaded entity with emissive textures becomes an NEE light
+    (reference scene.rs:433-445, 529-530): the light BVH includes its
+    triangles and the converged render shows its illumination."""
+    lamp = int(block_table.block_idx("lamp"))
+    wc = WorldConfig(size=(16, 16, 16), origin=(0, 0, 0), seed=0)
+    # enclosed stone room (no sky paths): without a light the interior
+    # renders black, so the instance's illumination is unmistakable
+    grid = np.full(wc.size, block_table.block_idx("stone"), dtype=np.uint8)
+    grid[2:14, 2:14, 2:14] = block_table.air
+    sc = Scene(wc, table=block_table, grid=grid)
+    assert not sc.light_bvh.has_lights  # no grid lights in this world
+
+    def hovering_cube(emissive: bool):
+        mesh = unitcube()
+        if emissive:
+            mesh = dict(mesh, t=mesh["t"] + np.uint32(lamp * 6))
+        return transform_mesh(mesh, Isometry(np.array([8.0, 6.0, 8.0])))
+
+    sc.set_instances([hovering_cube(emissive=True)])
+    n_em = int((block_table.texture_luminances[lamp * 6 : lamp * 6 + 6] > 0).sum())
+    assert sc.light_bvh.n_lights == 2 * n_em  # 2 tris per emissive face
+    assert sc.bvh_device is not None
+
+    # same geometry, non-emissive: identical occlusion, no light
+    eye = np.array([8.0, 10.0, 4.0], np.float32)
+    front = np.array([0.0, -0.6, 0.8], np.float32)
+    right = np.array([1.0, 0.0, 0.0], np.float32)
+    up = np.array([0.0, -0.8, -0.6], np.float32)
+    cfg = RenderConfig(width=24, height=16, samples_per_pixel=8, max_bounces=3)
+
+    img_lit = np.asarray(sc.render(eye, front, right, up, 0, cfg)).astype(np.float64)
+    sc.set_instances([hovering_cube(emissive=False)])
+    assert not sc.light_bvh.has_lights  # plain cube contributes no lights
+    img_dark = np.asarray(sc.render(eye, front, right, up, 0, cfg)).astype(np.float64)
+
+    # the lamp-textured cube must illuminate the scene
+    assert img_lit[..., :3].mean() > img_dark[..., :3].mean() + 1.0
+
+    # a moving NON-emissive entity never rebuilds the light structure
+    before = sc.light_bvh
+    sc.set_instances(
+        [transform_mesh(unitcube(), Isometry(np.array([9.0, 5.0, 8.0])))]
+    )
+    assert sc.light_bvh is before

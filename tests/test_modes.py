@@ -143,3 +143,43 @@ def test_app_progressive_matches_pathtracer_bitwise(tmp_path):
         )
         want = np.asarray(pt.render_progressive(pose, frame=gw.frame - 1))
         np.testing.assert_array_equal(got, want)
+
+
+def test_debug_albedo_view(block_table):
+    """--debug-albedo renders bounce-0 reflectivity: textured surfaces +
+    white sky, unlike the faithful 1-bounce E-only render whose surfaces
+    are black (VERDICT r1 weak #7 / BASELINE config 1 'albedo hit
+    shading')."""
+    import numpy as np
+
+    from vrv_tpu.config import RenderConfig, WorldConfig, build_arg_parser, configs_from_args
+    from vrv_tpu.render.scene import Scene
+
+    g = 24
+    wc = WorldConfig(size=(g, g, g), origin=(-g // 2, -g // 2, -g // 2), seed=0)
+    sc = Scene(wc)
+    grid_np = np.asarray(sc.grid)
+    solid = sc.table.solid[grid_np]
+    ys = np.nonzero(solid[g // 2, :, g // 2])[0]
+    y_surf = (int(ys.max()) if len(ys) else g // 2) + wc.origin[1]
+    eye = np.array([0.0, y_surf + 6.0, -10.0], np.float32)
+    front = np.array([0.0, -0.35, 0.936], np.float32)
+    right = np.array([-1.0, 0.0, 0.0], np.float32)
+    up = np.array([0.0, -0.936, -0.35], np.float32)
+
+    cfg = RenderConfig(width=32, height=24, samples_per_pixel=1, max_bounces=1,
+                       debug_view="albedo")
+    alb = np.asarray(sc.render(eye, front, right, up, 0, cfg))[..., :3]
+    faith = np.asarray(sc.render(eye, front, right, up, 0, cfg.replace(
+        debug_view="none")))[..., :3]
+
+    # faithful 1-bounce: every pixel is either sky (clipped white) or black
+    assert set(np.unique(faith)) <= {0, 255}
+    # albedo view: textured surfaces -> plenty of intermediate values
+    mid = (alb > 10) & (alb < 245)
+    assert mid.mean() > 0.2
+
+    # CLI flag wires through and forces megakernel mode
+    args = build_arg_parser().parse_args(["--debug-albedo", "--mode", "wavefront"])
+    rc, _ = configs_from_args(args)
+    assert rc.debug_view == "albedo" and rc.mode == "megakernel"

@@ -86,12 +86,21 @@ def cmd_frame(args):
     chunks = args.spp  # 1-spp passes accumulated on device (bench.py shape)
     fns = {}
     for tracer in args.tracers.split(","):
+        # token syntax: <base>[_pallas][_nobeam][_nonee][_wave], e.g.
+        # proc_pallas_nobeam — lets one process interleave arbitrary
+        # variants (only within-process medians are comparable)
+        parts = tracer.split("_")
+        base = parts[0]
+        mods = set(parts[1:])
         cfg = RenderConfig(
             width=args.width, height=args.height, samples_per_pixel=1,
-            max_bounces=args.bounces, mode=args.mode,
-            tracer="proc" if tracer == "proc_pallas" else tracer,
-            proc_backend="pallas" if tracer == "proc_pallas" else "xla",
+            max_bounces=args.bounces,
+            mode="wavefront" if "wave" in mods else args.mode,
+            tracer=base,
+            proc_backend="pallas" if "pallas" in mods else "xla",
             proc_coarse=not args.no_coarse,
+            beam_prepass="nobeam" not in mods,
+            enable_nee="nonee" not in mods,
         )
 
         def frame(f=0, cfg=cfg):

@@ -52,16 +52,19 @@ class RenderConfig:
     # (pack_rows_3axis), 'skip' = per-cell DDA with distance-field
     # skipping, 'exact' = plain DDA (oracle). 'rows' falls back to 'skip'
     # when no row table exists (grid depth not a multiple of the row
-    # width).
-    tracer: str = "rows"
+    # width). 'proc' is the production default: measured 2.1x faster
+    # frames than 'rows' on v5e, 3.8x with the pallas backend
+    # (docs/PERF.md round-2 table).
+    tracer: str = "proc"
     # with tracer='proc': consult the coarse 8^3-block distance table for
     # multi-cell air skips (one-hot MXU read). Off = pure fine stepping.
     proc_coarse: bool = True
     # with tracer='proc': 'xla' = lax.while_loop tracer (edit-capable,
     # CPU-runnable), 'pallas' = VMEM-resident Mosaic kernel
     # (ops/pallas/trace_proc.py; edit-free worlds, TPU only — falls back
-    # to 'xla' when edits exist)
-    proc_backend: str = "xla"
+    # to 'xla' when edits exist), 'auto' = pallas exactly when on TPU
+    # with an edit-free world, xla otherwise
+    proc_backend: str = "auto"
     # conservative per-tile cone march that advances primary rays through
     # proven-empty space before the real trace (ops/dda.beam_march,
     # ~15% frame time on v5e). Never skips a hit; may flip rays passing
@@ -77,6 +80,11 @@ class RenderConfig:
     # postprocess_shader.rs stub reserved space for; the shipped branch
     # renders independent frames, see SURVEY.md quirk Q2).
     progressive: bool = False
+    # 'albedo' = bounce-0 reflectivity visualization (debug aid; the
+    # faithful 1-bounce render is E-only and shows black surfaces because
+    # the reference kernel adds no direct light at bounce 0 —
+    # pathtrace_shader.rs:939-943 radiance unroll). megakernel mode only.
+    debug_view: str = "none"
     dtype: str = "float32"
 
     def replace(self, **kw) -> "RenderConfig":
@@ -137,7 +145,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--grid", type=int, default=128, help="cubic grid side")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mode", choices=["megakernel", "wavefront"], default="megakernel")
-    p.add_argument("--tracer", choices=["proc", "rows", "skip", "exact"], default="rows")
+    p.add_argument("--tracer", choices=["proc", "rows", "skip", "exact"], default="proc")
     p.add_argument("--no-beam", action="store_true",
                    help="disable the primary-ray beam pre-pass (debugging)")
     p.add_argument("--frames", type=int, default=1)
@@ -147,6 +155,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "1 = synchronous")
     p.add_argument("--out", type=str, default=None, help="PNG output path")
     p.add_argument("--no-nee", action="store_true")
+    p.add_argument("--debug-albedo", action="store_true",
+                   help="render bounce-0 reflectivity (textured surfaces) "
+                        "instead of path-traced radiance")
     p.add_argument("--progressive", action="store_true")
     p.add_argument("--infinite", action="store_true",
                    help="streaming world: the window recenters on the ego")
@@ -159,7 +170,9 @@ def configs_from_args(args) -> Tuple[RenderConfig, WorldConfig]:
         height=args.height,
         samples_per_pixel=args.spp,
         max_bounces=args.bounces,
-        mode=args.mode,
+        # albedo view is a megakernel-path visualization
+        mode="megakernel" if args.debug_albedo else args.mode,
+        debug_view="albedo" if args.debug_albedo else "none",
         tracer=args.tracer,
         enable_nee=not args.no_nee,
         beam_prepass=not args.no_beam,

@@ -188,27 +188,34 @@ def _trace_kernel(
     )
 
     zero = jnp.zeros_like(cx)
+    # Mosaic cannot carry vector<i1> through scf.while (scf.yield fails to
+    # legalize) — every boolean loop-carry travels as an i32 0/1 mask and
+    # is re-derived with != 0 inside the body
     state = (
-        valid & ~hit0,                                   # alive
+        (valid & ~hit0).astype(i32),                     # alive
         cx, cy, cz,                                      # cell
-        cur_solid,                                       # cur_solid
-        hit0,                                            # hit
+        cur_solid.astype(i32),                           # cur_solid
+        hit0.astype(i32),                                # hit
         jnp.where(hit0, t_enter, f32(0.0)),              # t
         jnp.where(hit0, entry_face.astype(i32), zero),   # face
         jnp.where(hit0, cx, zero),                       # hx
         jnp.where(hit0, cy, zero),                       # hy
         jnp.where(hit0, cz, zero),                       # hz
-        hit0,                                            # entering
+        hit0.astype(i32),                                # entering
         jnp.int32(0),                                    # steps
     )
     max_steps = int(X + Y + Z + 3)
 
     def cond(s):
-        return jnp.any(s[0]) & (s[12] < max_steps)
+        return (jnp.max(s[0]) > 0) & (s[12] < max_steps)
 
     def body(s):
-        (alive, scx, scy, scz, cur_solid, hit, t, face, hx, hy, hz, entering,
-         steps) = s
+        (alive_i, scx, scy, scz, cur_solid_i, hit_i, t, face, hx, hy, hz,
+         entering_i, steps) = s
+        alive = alive_i != 0
+        cur_solid = cur_solid_i != 0
+        hit = hit_i != 0
+        entering = entering_i != 0
         fx, fy, fz = scx.astype(f32), scy.astype(f32), scz.astype(f32)
         tax = jnp.where(bigx, _BIG, (fx + (dx > 0) - ox) * ix)
         tay = jnp.where(bigy, _BIG, (fy + (dy > 0) - oy) * iy)
@@ -240,10 +247,10 @@ def _trace_kernel(
         rec = any_hit & ~hit
         dead = ~inside | (t_next > f32(t_max))
         return (
-            alive & ~any_hit & ~dead,
+            (alive & ~any_hit & ~dead).astype(i32),
             nx, ny, nz,
-            new_solid,
-            hit | any_hit,
+            new_solid.astype(i32),
+            (hit | any_hit).astype(i32),
             jnp.where(rec, t_next, t),
             jnp.where(rec, nface, face),
             jnp.where(rec, jnp.where(entering_hit, nx, scx), hx),
@@ -251,16 +258,16 @@ def _trace_kernel(
             jnp.where(rec, jnp.where(entering_hit, nz, scz), hz),
             # bitwise select: Mosaic rejects select_n on i1 vectors
             # (legalizes through i8, then fails the i8->i1 trunci)
-            (rec & entering_hit) | (~rec & entering),
+            ((rec & entering_hit) | (~rec & entering)).astype(i32),
             steps + 1,
         )
 
     s = jax.lax.while_loop(cond, body, state)
-    (_, _, _, _, _, hit, t, face, hx, hy, hz, entering, _) = s
+    (_, _, _, _, _, hit_i, t, face, hx, hy, hz, entering_i, _) = s
     t_ref[:] = t
     packed_ref[:] = (
-        hit.astype(jnp.int32)
-        | (entering.astype(jnp.int32) << 1)
+        hit_i
+        | (entering_i << 1)
         | (face << 2)
         | (hx << 5)
         | (hy << 14)

@@ -109,7 +109,13 @@ def render_samples(
         with jax.named_scope(f"trace_b{bounce}"):
             o_tr = o + adv[:, None] * d if (bounce == 0 and adv is not None) else o
             if cfg.tracer == "proc" and proc_static is not None:
-                if cfg.proc_backend == "pallas" and proc_static.n_edits == 0:
+                # backend resolution: the Mosaic kernel needs a TPU and an
+                # edit-free world; 'auto' (the default) picks it exactly
+                # there and the XLA while_loop tracer everywhere else
+                want_pallas = cfg.proc_backend == "pallas" or (
+                    cfg.proc_backend == "auto" and jax.default_backend() == "tpu"
+                )
+                if want_pallas and proc_static.n_edits == 0:
                     from vrv_tpu.ops.pallas.trace_proc import trace_proc_pallas
 
                     tr = trace_proc_pallas(
@@ -173,6 +179,19 @@ def render_samples(
                 bvh_max_depth=bvh_max_depth,
                 inst=inst, inst_hit=inst_hit,
             )
+        if cfg.debug_view == "albedo" and bounce == 0:
+            # bounce-0 reflectivity visualization: textured surfaces +
+            # white sky (the faithful 1-bounce render is E-only and reads
+            # as black surfaces — this is the human-checkable albedo view).
+            # Reflectivity is linear (textures are sRGB-decoded at load,
+            # utils.rs/block.rs semantics); re-encode to sRGB so the view
+            # shows the texture art, not near-black linear values.
+            albedo = jnp.where(br.miss[:, None], 1.0, br.reflectivity)
+            a = jnp.clip(albedo, 0.0, 1.0)
+            srgb = jnp.where(
+                a <= 0.0031308, a * 12.92, 1.055 * a ** (1.0 / 2.4) - 0.055
+            )
+            return srgb.reshape(S, H, W, 3)
         color = color + jnp.where(alive[:, None], throughput * br.emissivity, 0.0)
         throughput = jnp.where(alive[:, None], throughput * br.reflectivity, 0.0)
         alive = alive & ~br.miss

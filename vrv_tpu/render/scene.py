@@ -99,6 +99,11 @@ class Scene:
         )[0]
         self._pristine: Optional[np.ndarray] = None  # worldgen(world_cfg) cache
         self._pristine_key = None
+        # emissive entity-instance triangles feeding the light BVH
+        # (reference scene.rs:433-445: upload scans every object's triangles
+        # for emissive textures and registers them as lights)
+        self._inst_light_tri = np.zeros((0, 3, 3), np.float32)
+        self._inst_light_lpa = np.zeros((0,), np.float32)
         self._rebuild_lights()
         self._rebuild_dist()
         self._sync_proc()
@@ -120,10 +125,20 @@ class Scene:
             uvs.append(np.asarray(mesh["uv"], np.float32).reshape(-1, 3, 2))
         if not tris:
             self.instances_device = None
+            self._set_instance_lights(
+                np.zeros((0, 3, 3), np.float32), np.zeros((0,), np.float32)
+            )
             return
         tri = np.concatenate(tris)
         t = np.concatenate(ts)
         uv = np.concatenate(uvs)
+        # emissive-instance lights (scene.rs:433-445): a triangle whose
+        # texture has positive mean emissive power is an NEE light; the
+        # luminance-per-area comes from the texture mean (utils.rs:223-235)
+        lum = self.table.texture_luminances
+        tl = lum[np.clip(t.astype(np.int64), 0, len(lum) - 1)].astype(np.float32)
+        em = tl > 0
+        self._set_instance_lights(tri[em], tl[em])
         n = len(tri)
         cap = max(16, 1 << (n - 1).bit_length())
         pad = cap - n
@@ -238,9 +253,30 @@ class Scene:
     # light structure
     # ------------------------------------------------------------------
 
+    def _set_instance_lights(self, tri: np.ndarray, lpa: np.ndarray) -> None:
+        """Adopt the instance set's emissive triangles; rebuild the light
+        BVH only when they actually changed (a moving non-emissive entity —
+        the common case, quirk Q5 — never triggers a rebuild)."""
+        if (
+            tri.shape == self._inst_light_tri.shape
+            and np.array_equal(tri, self._inst_light_tri)
+            and np.array_equal(lpa, self._inst_light_lpa)
+        ):
+            return
+        self._inst_light_tri = np.ascontiguousarray(tri, np.float32)
+        self._inst_light_lpa = np.ascontiguousarray(lpa, np.float32)
+        self._rebuild_lights()
+
     def _rebuild_lights(self):
         grid_np = np.asarray(self.grid)
-        self.light_bvh = lb.build_from_grid(grid_np, self.table)
+        tris, lpa = lb.emissive_triangles(grid_np, self.table)
+        if len(self._inst_light_tri):
+            # grid lights + instance lights in one tree (the reference keeps
+            # per-object BL BVHs under a TL BVH, scene.rs:260-308; one flat
+            # tree has identical traversal semantics for our single grid)
+            tris = np.concatenate([tris, self._inst_light_tri])
+            lpa = np.concatenate([lpa, self._inst_light_lpa])
+        self.light_bvh = lb.build_light_bvh(tris, lpa)
         self.bvh_device = device_bvh(self.light_bvh)
         self.bvh_max_depth = self.light_bvh.max_depth
 
