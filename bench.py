@@ -51,9 +51,9 @@ def main() -> int:
     right = np.array([-1.0, 0.0, 0.0], np.float32)
     up = np.array([0.0, -0.936, -0.35], np.float32)
 
-    def run(frame):
-        from vrv_tpu.render.megakernel import pack_bgra
+    from vrv_tpu.render.megakernel import pack_bgra
 
+    def run(frame):
         acc = None
         for c in range(CHUNKS):
             smp = scene.render_samples(

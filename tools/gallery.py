@@ -24,7 +24,7 @@ def main():
     ap.add_argument("--width", type=int, default=800)
     ap.add_argument("--height", type=int, default=600)
     ap.add_argument("--grid", type=int, default=128)
-    ap.add_argument("--tracer", default="rows")
+    ap.add_argument("--tracer", default="proc")
     ap.add_argument("--outdir", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs", "screenshots"))

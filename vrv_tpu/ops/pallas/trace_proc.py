@@ -50,6 +50,11 @@ _BIG = np.float32(3.0e38)
 BLOCK_ROWS = 8   # rays per block = BLOCK_ROWS * 128
 LANES = 128
 
+import os as _os
+
+# cell-steps per while-loop iteration (A/B knob; docs/PERF.md)
+UNROLL = int(_os.environ.get("VRV_PALLAS_UNROLL", "1"))
+
 
 def _simplex3_seeded(x, y, z, seed_mix):
     """ops/noise.simplex3 with the host-side seed mix precomputed.
@@ -261,6 +266,18 @@ def _trace_kernel(
             ((rec & entering_hit) | (~rec & entering)).astype(i32),
             steps + 1,
         )
+
+    unroll = UNROLL
+    if unroll > 1:
+        # compose the body: k cell-steps per loop iteration. Bit-identical
+        # (same visit order; finished rays are masked no-ops) — trades
+        # loop-control overhead for at most k-1 wasted masked steps
+        inner = body
+
+        def body(s, _inner=inner, _k=unroll):
+            for _ in range(_k):
+                s = _inner(s)
+            return s
 
     s = jax.lax.while_loop(cond, body, state)
     (_, _, _, _, _, hit_i, t, face, hx, hy, hz, entering_i, _) = s

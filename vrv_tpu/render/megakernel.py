@@ -68,11 +68,27 @@ def render_samples(
         y0=y0, local_height=local_height, s0=s0, local_spp=local_spp,
     )
     n = S * H * W
+    # backend resolution for the proc tracer: the Mosaic kernel needs a
+    # TPU and an edit-free world; 'auto' (the default) picks it exactly
+    # there and the XLA while_loop tracer everywhere else
+    use_pallas = (
+        cfg.tracer == "proc"
+        and proc_static is not None
+        and proc_static.n_edits == 0
+        and (
+            cfg.proc_backend == "pallas"
+            or (cfg.proc_backend == "auto" and jax.default_backend() == "tpu")
+        )
+    )
     # beam pre-pass: camera rays share an origin, so one conservative cone
     # march per 8x8 pixel tile proves a per-ray air interval [0, adv] and
-    # the real trace starts at eye + adv * d (ops/dda.beam_march)
+    # the real trace starts at eye + adv * d (ops/dda.beam_march).
+    # Skipped for the pallas proc backend: its VMEM march resolves
+    # primaries faster than the XLA cone march costs (measured 594 vs
+    # 748 ms/frame — docs/PERF.md round-2 table).
     adv = None
-    if cfg.beam_prepass and dist is not None and cfg.tracer != "exact":
+    if (cfg.beam_prepass and dist is not None and cfg.tracer != "exact"
+            and not use_pallas):
         with jax.named_scope("beam_prepass"):
             if local_height or local_spp:
                 # shards must agree bit-for-bit with the single-chip render
@@ -109,13 +125,7 @@ def render_samples(
         with jax.named_scope(f"trace_b{bounce}"):
             o_tr = o + adv[:, None] * d if (bounce == 0 and adv is not None) else o
             if cfg.tracer == "proc" and proc_static is not None:
-                # backend resolution: the Mosaic kernel needs a TPU and an
-                # edit-free world; 'auto' (the default) picks it exactly
-                # there and the XLA while_loop tracer everywhere else
-                want_pallas = cfg.proc_backend == "pallas" or (
-                    cfg.proc_backend == "auto" and jax.default_backend() == "tpu"
-                )
-                if want_pallas and proc_static.n_edits == 0:
+                if use_pallas:
                     from vrv_tpu.ops.pallas.trace_proc import trace_proc_pallas
 
                     tr = trace_proc_pallas(
