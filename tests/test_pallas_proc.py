@@ -56,3 +56,46 @@ def test_pallas_rejects_edits(block_table):
     d = jnp.ones((8, 3), jnp.float32)
     with pytest.raises(ValueError, match="edit-free"):
         trace_proc_pallas(ps, o, d, interpret=True)
+
+
+def test_pallas_coarse_skip_bit_identical(block_table):
+    """The in-kernel constant empty-box skip (two-level occupancy baked as
+    compile-time words) never changes results: bit-identical to both the
+    skipless kernel and the XLA tracer."""
+    from vrv_tpu.ops.dda_proc import build_coarse_dist, worldgen_blocks
+    from vrv_tpu.ops.pallas.trace_proc import coarse_consts
+
+    g = 32
+    wc = WorldConfig(size=(g, g, g), origin=(-g // 2, -g // 2, -g // 2), seed=0)
+    ps = _ps(block_table, wc, (g, g, g))._replace(use_coarse=True)
+
+    xs, ys, zs = np.meshgrid(*[np.arange(g, dtype=np.int32)] * 3, indexing="ij")
+    grid = np.asarray(
+        jax.jit(worldgen_blocks, static_argnums=(0,))(
+            ps, jnp.asarray(xs.ravel()), jnp.asarray(ys.ravel()),
+            jnp.asarray(zs.ravel()),
+        )
+    ).reshape(g, g, g)
+    cc = coarse_consts(build_coarse_dist(grid, block_table.air), grid,
+                       int(block_table.air))
+    ps_skip = ps._replace(coarse_const=cc)
+
+    o = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(5), (3000, 3), minval=-12.0, maxval=g + 12.0),
+        np.float32,
+    )
+    d = np.asarray(jax.random.normal(jax.random.PRNGKey(6), (3000, 3)), np.float32)
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    d[0] = [0, 1, 0]
+    d[1] = [0, 0, -1]
+
+    plain = trace_proc_pallas(
+        ps._replace(use_coarse=False), jnp.asarray(o), jnp.asarray(d), interpret=True
+    )
+    skip = trace_proc_pallas(ps_skip, jnp.asarray(o), jnp.asarray(d), interpret=True)
+    ref = trace_proc(ps._replace(use_coarse=False), jnp.asarray(o), jnp.asarray(d))
+    for f in ("hit", "t", "block", "face", "entering"):
+        a = np.asarray(getattr(skip, f))
+        assert (a == np.asarray(getattr(plain, f))).all(), f"skip vs plain: {f}"
+        assert (a == np.asarray(getattr(ref, f))).all(), f"skip vs xla: {f}"
+    assert (np.asarray(skip.cell) == np.asarray(plain.cell)).all()

@@ -92,9 +92,13 @@ def cmd_frame(args):
         parts = tracer.split("_")
         base = parts[0]
         mods = set(parts[1:])
+        bounces = args.bounces
+        for m in mods:
+            if m.startswith("b") and m[1:].isdigit():
+                bounces = int(m[1:])
         cfg = RenderConfig(
             width=args.width, height=args.height, samples_per_pixel=1,
-            max_bounces=args.bounces,
+            max_bounces=bounces,
             mode="wavefront" if "wave" in mods else args.mode,
             tracer=base,
             proc_backend="pallas" if "pallas" in mods else "xla",
@@ -140,12 +144,31 @@ def cmd_trace(args):
             ps = scene.proc_static._replace(use_coarse=not args.no_coarse)
             pa = scene.proc_arrays
             fn = jax.jit(lambda o, d: trace_proc(ps, o, d, pd=pa).t)
-        elif tracer == "proc_pallas":
+        elif tracer.startswith("proc_pallas"):
+            # token: proc_pallas[_uK][_nc] (K = cell-steps per loop
+            # iteration; _nc = disable the in-kernel constant box skip)
             from vrv_tpu.ops.pallas.trace_proc import trace_proc_pallas
 
+            rest = tracer[len("proc_pallas"):]
+            ur = 1
+            if "_u" in rest:
+                ur = int(rest.split("_u", 1)[1].split("_", 1)[0])
+            cap = 0
+            if "_m" in rest:
+                cap = int(rest.split("_m", 1)[1].split("_", 1)[0])
+            brows = None
+            if "_br" in rest:
+                brows = int(rest.split("_br", 1)[1].split("_", 1)[0])
             ps = scene.proc_static
+            if "_nc" in rest:
+                ps = ps._replace(use_coarse=False)
             pa = scene.proc_arrays
-            fn = jax.jit(lambda o, d: trace_proc_pallas(ps, o, d, pd=pa).t)
+            fn = jax.jit(
+                lambda o, d, ur=ur, ps=ps, cap=cap, brows=brows: trace_proc_pallas(
+                    ps, o, d, pd=pa, unroll=ur, max_steps_cap=cap,
+                    block_rows=brows
+                ).t
+            )
         elif tracer == "rows":
             from vrv_tpu.ops.dda_rows import trace_rows_auto
 

@@ -68,6 +68,10 @@ class ProcStatic(NamedTuple):
     air: int
     n_edits: int          # padded length of the edit arrays (0 = no edits)
     use_coarse: bool = True
+    # compile-time empty-box skip structures for the pallas kernel
+    # (ops/pallas/trace_proc.coarse_consts; () = none). Static is sound
+    # because the pallas tracer only serves edit-free worldgen scenes.
+    coarse_const: tuple = ()
 
 
 class ProcWorld(NamedTuple):

@@ -118,9 +118,93 @@ def _simplex3_seeded(x, y, z, seed_mix):
     return 76.7 * 0.864 * n
 
 
+def _const_word_tree(words, idx):
+    """Select words[idx] per lane from compile-time constant ints.
+
+    words: python ints (padded to a power of two); idx: (8,128) i32.
+    Lowered as a binary select tree — len(words)-1 vector selects, zero
+    memory traffic (this is the gather-free constant read the coarse
+    skip rides; legal because the pallas tracer only runs on edit-free
+    worldgen scenes, where the occupancy is a pure function of the
+    static ProcStatic)."""
+
+    def sel(base, m):
+        if m == 0:
+            w = words[base] if base < len(words) else 0
+            return jnp.int32(np.int32(np.uint32(w)))
+        half = 1 << (m - 1)
+        b = (idx >> (m - 1)) & 1
+        return jnp.where(b == 1, sel(base + half, m - 1), sel(base, m - 1))
+
+    nbits = max(1, (len(words) - 1).bit_length())
+    return sel(0, nbits)
+
+
+def _pack_occupancy(occ: np.ndarray):
+    """(Bx, By, Bz) bool -> tuple of i32 bit-words, C-order flat index."""
+    flat = np.ascontiguousarray(occ).ravel()
+    nw = (flat.size + 31) // 32
+    words = np.zeros(nw, np.uint32)
+    idxs = np.nonzero(flat)[0]
+    np.bitwise_or.at(words, idxs >> 5, np.uint32(1) << (idxs & 31).astype(np.uint32))
+    return tuple(int(w) for w in words)
+
+
+def coarse_consts(coarse: np.ndarray, grid: np.ndarray = None, air_id: int = 0):
+    """Static skip structures from the scene's coarse distance table.
+
+    Level 1: 8-cell blocks (occupied = coarse == 0). Level 2: 32-cell
+    superblocks (4x4x4 blocks, occupied if any member block is).
+    Level 3 (from `grid` when given): per 8x8 (x,z) column-block height
+    envelope — y_low[bx,bz] = 1 + the highest solid y anywhere in that
+    column region (0 if none), so every cell with y >= y_low is air.
+    This is the certificate that serves terrain-GRAZING rays, whose
+    blocks all contain solids below them (block occupancy never fires);
+    worldgen air lies above the terrain (density falls with +y).
+
+    Returns a hashable ((shape1, words1), (shape2, words2), env) tuple;
+    env = ((Bx, Bz), words) with y_low packed 2 x 16-bit per word, or
+    None without `grid`.
+    """
+    occ = np.asarray(coarse) == 0
+    s1 = occ.shape
+    sup_shape = tuple((s + 3) // 4 for s in s1)
+    pad = [(0, 4 * ss - s) for ss, s in zip(sup_shape, s1)]
+    occ_p = np.pad(occ, pad, constant_values=False)
+    sup = occ_p.reshape(
+        sup_shape[0], 4, sup_shape[1], 4, sup_shape[2], 4
+    ).any(axis=(1, 3, 5))
+
+    env = None
+    if grid is not None:
+        g = np.asarray(grid)
+        X, Y, Z = g.shape
+        from vrv_tpu.ops.dda_proc import COARSE_BLOCK as B
+        Bx, Bz = (X + B - 1) // B, (Z + B - 1) // B
+        solid = g != np.uint8(air_id)
+        solid = np.pad(solid, [(0, Bx * B - X), (0, 0), (0, Bz * B - Z)])
+        # (Bx, B, Y, Bz, B) -> any over the in-block x/z -> (Bx, Y, Bz)
+        col = solid.reshape(Bx, B, Y, Bz, B).any(axis=(1, 4))
+        ys = np.arange(Y, dtype=np.int64)[None, :, None]
+        y_top = np.where(col, ys, -1).max(axis=1)          # (Bx, Bz)
+        y_low = (y_top + 1).astype(np.uint32)
+        flat = y_low.ravel()
+        nw = (flat.size + 1) // 2
+        words = np.zeros(nw, np.uint32)
+        for i, v in enumerate(flat):
+            words[i >> 1] |= np.uint32(v) << np.uint32(16 * (i & 1))
+        env = ((Bx, Bz), tuple(int(w) for w in words))
+
+    return (
+        (s1, _pack_occupancy(occ)),
+        (sup_shape, _pack_occupancy(sup)),
+        env,
+    )
+
+
 def _trace_kernel(
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_ref, packed_ref,
-    *, ps, t_min, t_max,
+    *, ps, t_min, t_max, unroll=1, coarse=None, max_steps_cap=0,
 ):
     f32 = jnp.float32
     i32 = jnp.int32
@@ -210,9 +294,17 @@ def _trace_kernel(
         jnp.int32(0),                                    # steps
     )
     max_steps = int(X + Y + Z + 3)
+    if max_steps_cap:
+        max_steps = min(max_steps, int(max_steps_cap))  # probe-only
 
     def cond(s):
         return (jnp.max(s[0]) > 0) & (s[12] < max_steps)
+
+    def occ_read(level, bx, by, bz):
+        (Bx, By, Bz), words = level
+        idx = (bx * By + by) * Bz + bz
+        word = _const_word_tree(words, idx >> 5)
+        return (word & (jnp.int32(1) << (idx & 31))) != 0
 
     def body(s):
         (alive_i, scx, scy, scz, cur_solid_i, hit_i, t, face, hx, hy, hz,
@@ -222,6 +314,94 @@ def _trace_kernel(
         hit = hit_i != 0
         entering = entering_i != 0
         fx, fy, fz = scx.astype(f32), scy.astype(f32), scz.astype(f32)
+
+        if coarse is not None:
+            # --- constant air-region certificates at the current cell
+            # (the in-kernel analog of dda_proc's coarse skip; all data
+            # baked as compile-time words, zero memory traffic):
+            #   box: the 32-cell superblock (or 8-cell block) containing
+            #        the cell is all-air;
+            #   env: the cell lies at/above the 8x8 column-block's height
+            #        envelope (y >= y_low => air) — this one serves
+            #        terrain-grazing rays, whose blocks are never empty.
+            # The ray jumps to the last air cell inside the farther
+            # certified region ---
+            lvl1, lvl2, env = coarse
+            occ2 = occ_read(lvl2, scx >> 5, scy >> 5, scz >> 5)
+            occ1 = occ_read(lvl1, scx >> 3, scy >> 3, scz >> 3)
+            use2 = ~occ2
+            box_ok = use2 | ~occ1
+            box_b = jnp.where(use2, 32, 8)
+            box_lo_x = ((jnp.where(use2, scx >> 5, scx >> 3)) * box_b).astype(f32)
+            box_lo_y = ((jnp.where(use2, scy >> 5, scy >> 3)) * box_b).astype(f32)
+            box_lo_z = ((jnp.where(use2, scz >> 5, scz >> 3)) * box_b).astype(f32)
+            bf = box_b.astype(f32)
+
+            def region_skip(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z):
+                tbx = jnp.where(bigx, _BIG, jnp.where(
+                    dx > 0, (hi_x - ox) * ix, (lo_x - ox) * ix))
+                tby = jnp.where(bigy, _BIG, jnp.where(
+                    dy > 0, (hi_y - oy) * iy, (lo_y - oy) * iy))
+                tbz = jnp.where(bigz, _BIG, jnp.where(
+                    dz > 0, (hi_z - oz) * iz, (lo_z - oz) * iz))
+                t_skip = jnp.minimum(jnp.minimum(tbx, tby), tbz)
+                ex_x = t_skip == tbx
+                ex_y = (~ex_x) & (t_skip == tby)
+
+                def skip_axis(is_exit, lo, hi, o1, d1):
+                    # land on the LAST air cell in the region on this axis
+                    exact = jnp.where(d1 > 0, hi, lo).astype(i32) - (d1 > 0)
+                    flo = jnp.clip(
+                        jnp.floor(o1 + t_skip * d1).astype(i32),
+                        lo.astype(i32),
+                        hi.astype(i32) - 1,
+                    )
+                    return jnp.where(is_exit, exact, flo)
+
+                kx = skip_axis(ex_x, lo_x, hi_x, ox, dx)
+                ky = skip_axis(ex_y, lo_y, hi_y, oy, dy)
+                kz = skip_axis(~(ex_x | ex_y), lo_z, hi_z, oz, dz)
+                return t_skip, kx, ky, kz
+
+            tb, bkx, bky, bkz = region_skip(
+                box_lo_x, box_lo_y, box_lo_z,
+                box_lo_x + bf, box_lo_y + bf, box_lo_z + bf,
+            )
+            if env is not None:
+                (Bx, Bz), ewords = env
+                eidx = (scx >> 3) * Bz + (scz >> 3)
+                eword = _const_word_tree(ewords, eidx >> 1)
+                y_low = (eword >> (16 * (eidx & 1))) & 0xFFFF
+                env_ok = scy >= y_low
+                te, ekx, eky, ekz = region_skip(
+                    ((scx >> 3) * 8).astype(f32), y_low.astype(f32),
+                    ((scz >> 3) * 8).astype(f32),
+                    ((scx >> 3) * 8 + 8).astype(f32), f32(Y),
+                    ((scz >> 3) * 8 + 8).astype(f32),
+                )
+                pick_env = env_ok & (~box_ok | (te >= tb))
+                t_skip = jnp.where(pick_env, te, tb)
+                kx = jnp.where(pick_env, ekx, bkx)
+                ky = jnp.where(pick_env, eky, bky)
+                kz = jnp.where(pick_env, ekz, bkz)
+                cert = box_ok | env_ok
+            else:
+                t_skip, kx, ky, kz = tb, bkx, bky, bkz
+                cert = box_ok
+            skip_inside = (
+                (kx >= 0) & (kx < X) & (ky >= 0) & (ky < Y) & (kz >= 0) & (kz < Z)
+            )
+            skip_out = ~skip_inside | (t_skip > f32(t_max))
+            can_skip = (
+                alive & cert
+                & ((kx != scx) | (ky != scy) | (kz != scz))
+            )
+        else:
+            kx = ky = kz = scx  # unused
+            skip_inside = skip_out = jnp.zeros_like(alive)
+            can_skip = jnp.zeros_like(alive)
+
+        # --- exact one-cell DDA step (dda_proc._body formulas) ---
         tax = jnp.where(bigx, _BIG, (fx + (dx > 0) - ox) * ix)
         tay = jnp.where(bigy, _BIG, (fy + (dy > 0) - oy) * iy)
         taz = jnp.where(bigz, _BIG, (fz + (dz > 0) - oz) * iz)
@@ -231,16 +411,21 @@ def _trace_kernel(
         axis = jnp.where(ax_x, 0, jnp.where(ax_y, 1, 2))
         d_axis = jnp.where(ax_x, dx, jnp.where(ax_y, dy, dz))
         sgn = jnp.where(d_axis > 0, 1, -1).astype(i32)
-        nx = scx + jnp.where(ax_x, sgn, 0)
-        ny = scy + jnp.where(ax_y, sgn, 0)
-        nz = scz + jnp.where(ax_x | ax_y, 0, sgn)
-        inside = (
-            (nx >= 0) & (nx < X) & (ny >= 0) & (ny < Y) & (nz >= 0) & (nz < Z)
+        ex_ = scx + jnp.where(ax_x, sgn, 0)
+        ey_ = scy + jnp.where(ax_y, sgn, 0)
+        ez_ = scz + jnp.where(ax_x | ax_y, 0, sgn)
+        inside_exact = (
+            (ex_ >= 0) & (ex_ < X) & (ey_ >= 0) & (ey_ < Y) & (ez_ >= 0) & (ez_ < Z)
         )
+
+        nx = jnp.where(can_skip, kx, ex_)
+        ny = jnp.where(can_skip, ky, ey_)
+        nz = jnp.where(can_skip, kz, ez_)
+        inside = (can_skip & skip_inside) | (~can_skip & inside_exact)
         new_solid = solid_at(nx, ny, nz, inside)
 
-        entering_hit = new_solid & ~cur_solid
-        exiting_hit = cur_solid & ~new_solid
+        entering_hit = new_solid & ~cur_solid & ~can_skip
+        exiting_hit = cur_solid & ~new_solid & ~can_skip
         in_range = (t_next >= f32(t_min)) & (t_next <= f32(t_max))
         any_hit = alive & in_range & (entering_hit | exiting_hit)
         nface = jnp.where(
@@ -250,7 +435,8 @@ def _trace_kernel(
         ).astype(i32)
 
         rec = any_hit & ~hit
-        dead = ~inside | (t_next > f32(t_max))
+        dead_exact = ~inside_exact | (t_next > f32(t_max))
+        dead = (can_skip & skip_out) | (~can_skip & dead_exact)
         return (
             (alive & ~any_hit & ~dead).astype(i32),
             nx, ny, nz,
@@ -267,7 +453,6 @@ def _trace_kernel(
             steps + 1,
         )
 
-    unroll = UNROLL
     if unroll > 1:
         # compose the body: k cell-steps per loop iteration. Bit-identical
         # (same visit order; finished rays are masked no-ops) — trades
@@ -292,11 +477,17 @@ def _trace_kernel(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("ps", "t_min", "t_max", "interpret"))
-def _trace_proc_pallas_flat(ps, o, d, t_min, t_max, interpret=False):
+@functools.partial(
+    jax.jit,
+    static_argnames=("ps", "t_min", "t_max", "interpret", "unroll", "coarse",
+                     "max_steps_cap", "block_rows"),
+)
+def _trace_proc_pallas_flat(ps, o, d, t_min, t_max, interpret=False, unroll=1,
+                            coarse=None, max_steps_cap=0, block_rows=None):
+    br = block_rows or BLOCK_ROWS
     n = o.shape[0]
     rows = (n + LANES - 1) // LANES
-    rows_pad = (rows + BLOCK_ROWS - 1) // BLOCK_ROWS * BLOCK_ROWS
+    rows_pad = (rows + br - 1) // br * br
     n_pad = rows_pad * LANES
 
     def prep(x):
@@ -306,10 +497,13 @@ def _trace_proc_pallas_flat(ps, o, d, t_min, t_max, interpret=False):
     ox, oy, oz = prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2])
     dx, dy, dz = prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2])
 
-    grid = (rows_pad // BLOCK_ROWS,)
-    spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0))
+    grid = (rows_pad // br,)
+    spec = pl.BlockSpec((br, LANES), lambda i: (i, 0))
     t, packed = pl.pallas_call(
-        functools.partial(_trace_kernel, ps=ps, t_min=t_min, t_max=t_max),
+        functools.partial(
+            _trace_kernel, ps=ps, t_min=t_min, t_max=t_max, unroll=unroll,
+            coarse=coarse, max_steps_cap=max_steps_cap,
+        ),
         grid=grid,
         in_specs=[spec] * 6,
         out_specs=[spec, spec],
@@ -323,7 +517,8 @@ def _trace_proc_pallas_flat(ps, o, d, t_min, t_max, interpret=False):
 
 
 def trace_proc_pallas(ps, origin, direction, t_min=0.001, t_max=1000.0,
-                      pd=None, interpret=False):
+                      pd=None, interpret=False, unroll=None, max_steps_cap=0,
+                      block_rows=None):
     """Same contract as dda_proc.trace_proc (edit-free worlds only)."""
     from vrv_tpu.ops.dda import TraceResult
     from vrv_tpu.ops.dda_proc import _hit_blocks, assemble
@@ -335,7 +530,12 @@ def trace_proc_pallas(ps, origin, direction, t_min=0.001, t_max=1000.0,
     o = origin.reshape(-1, 3).astype(jnp.float32)
     d = direction.reshape(-1, 3).astype(jnp.float32)
     t, packed = _trace_proc_pallas_flat(ps, o, d, float(t_min), float(t_max),
-                                        interpret=interpret)
+                                        interpret=interpret,
+                                        unroll=UNROLL if unroll is None else unroll,
+                                        coarse=(ps.coarse_const or None)
+                                        if ps.use_coarse else None,
+                                        max_steps_cap=max_steps_cap,
+                                        block_rows=block_rows)
     hit = (packed & 1) == 1
     entering = ((packed >> 1) & 1) == 1
     face = (packed >> 2) & 7

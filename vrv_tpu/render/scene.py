@@ -237,9 +237,20 @@ class Scene:
             blocks[i] = b
             solidv[i] = b != self.table.air
             transl[i] = bool(self.table.translucent[b])
+        coarse_np = dda_proc.build_coarse_dist(grid_np, self.table.air)
+        if n == 0:
+            # edit-free: the pallas kernel may run — bake the empty-box
+            # skip structures as compile-time constants
+            from vrv_tpu.ops.pallas.trace_proc import coarse_consts
+
+            ps0 = ps0._replace(
+                coarse_const=coarse_consts(
+                    coarse_np, grid_np, int(self.table.air)
+                )
+            )
         self.proc_static = ps0._replace(n_edits=cap)
         self.proc_arrays = {
-            "coarse": jnp.asarray(dda_proc.build_coarse_dist(grid_np, self.table.air)),
+            "coarse": jnp.asarray(coarse_np),
         }
         if cap:
             self.proc_arrays.update(

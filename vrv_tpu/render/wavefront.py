@@ -61,11 +61,25 @@ def render_samples_wavefront(
     o, d, sample_seed = raygen(
         eye, front, right, up, W, H, S, frame, jitter_scale=cfg.jitter_scale
     )
+    # backend resolution, same predicate as render/megakernel.py: the
+    # Mosaic kernel needs a TPU and an edit-free world
+    use_pallas = (
+        cfg.tracer == "proc"
+        and proc_static is not None
+        and proc_static.n_edits == 0
+        and (
+            cfg.proc_backend == "pallas"
+            or (cfg.proc_backend == "auto" and jax.default_backend() == "tpu")
+        )
+    )
     # beam pre-pass (ops/dda.beam_march): primary origins advance to the
     # per-tile proven-safe depth. Unlike megakernel mode, the (origin, t)
     # pair stays self-consistent — downstream shading only ever combines
-    # them as o + t * d, so no eye-relative t reconstruction is needed
-    if cfg.beam_prepass and dist is not None and cfg.tracer != "exact":
+    # them as o + t * d, so no eye-relative t reconstruction is needed.
+    # Skipped under the pallas backend (costs more than it saves there,
+    # docs/PERF.md round-2 table).
+    if (cfg.beam_prepass and dist is not None and cfg.tracer != "exact"
+            and not use_pallas):
         with jax.named_scope("beam_prepass"):
             adv = dda.beam_advance(dist, eye, d)
             o = o + adv[..., None] * d
@@ -93,7 +107,14 @@ def render_samples_wavefront(
     def bounce_segment(args):
         """Trace+shade one segment; returns updated segment state."""
         (seg_o, seg_d, seg_seed, seg_T, bounce) = args
-        if cfg.tracer == "proc" and proc_static is not None:
+        if use_pallas:
+            from vrv_tpu.ops.pallas.trace_proc import trace_proc_pallas
+
+            tr = trace_proc_pallas(
+                proc_static, seg_o, seg_d, t_min=cfg.t_min, t_max=cfg.t_max,
+                pd=proc,
+            )
+        elif cfg.tracer == "proc" and proc_static is not None:
             from vrv_tpu.ops.dda_proc import trace_proc
 
             tr = trace_proc(
