@@ -98,11 +98,18 @@ def main() -> int:
     conv_fps = 2 / (time.perf_counter() - t0)
     print(f"converged 128spp: {conv_fps:.3f} fps (ref 3)", file=sys.stderr)
 
-    # wavefront vs megakernel at 4 spp / 4 bounces (reference README.md:31)
+    # wavefront vs megakernel at 4 spp / 4 bounces (reference README.md:31),
+    # both as four accumulated 1-spp passes (the headline-frame shape)
     mode_fps = {}
     for mode in ("megakernel", "wavefront"):
-        cfg44 = cfg.replace(samples_per_pixel=4, mode=mode)
-        f = lambda i: scene.render(eye, front, right, up, i, cfg44)
+        cfgm = cfg.replace(mode=mode, samples_per_pixel=1)
+
+        def f(i, cfgm=cfgm):
+            img = None
+            for c in range(4):
+                img = scene.render(eye, front, right, up, i * 4 + c, cfgm)
+            return img
+
         np.asarray(f(0))
         t0 = time.perf_counter()
         for i in range(4):

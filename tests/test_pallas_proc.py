@@ -99,3 +99,25 @@ def test_pallas_coarse_skip_bit_identical(block_table):
         assert (a == np.asarray(getattr(plain, f))).all(), f"skip vs plain: {f}"
         assert (a == np.asarray(getattr(ref, f))).all(), f"skip vs xla: {f}"
     assert (np.asarray(skip.cell) == np.asarray(plain.cell)).all()
+
+
+def test_pallas_tile2d_bit_identical(block_table):
+    """2D image-tile blocking only reassigns rays to blocks — results are
+    bit-identical to the flat 1D packing."""
+    g = 32
+    wc = WorldConfig(size=(g, g, g), origin=(-g // 2, -g // 2, -g // 2), seed=0)
+    ps = _ps(block_table, wc, (g, g, g))
+    R, W = 24, 40  # not multiples of the (8, 128) tile — padding exercised
+    o = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(9), (R * W, 3), minval=-8.0, maxval=g + 8.0),
+        np.float32,
+    )
+    d = np.asarray(jax.random.normal(jax.random.PRNGKey(10), (R * W, 3)), np.float32)
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    flat = trace_proc_pallas(ps, jnp.asarray(o), jnp.asarray(d), interpret=True)
+    tiled = trace_proc_pallas(ps, jnp.asarray(o), jnp.asarray(d), interpret=True,
+                              hw=(R, W))
+    for f in ("hit", "t", "block", "face", "entering"):
+        a, b = np.asarray(getattr(flat, f)), np.asarray(getattr(tiled, f))
+        assert (a == b).all(), f"{f}: {(a != b).sum()} mismatches"
+    assert (np.asarray(flat.cell) == np.asarray(tiled.cell)).all()

@@ -96,8 +96,12 @@ def cmd_frame(args):
         for m in mods:
             if m.startswith("b") and m[1:].isdigit():
                 bounces = int(m[1:])
+        # sppfull: one render_samples call at full spp (one giant program)
+        # onejit: chunked passes accumulated INSIDE one jit (one dispatch)
+        n_chunks = 1 if "sppfull" in mods else chunks
         cfg = RenderConfig(
-            width=args.width, height=args.height, samples_per_pixel=1,
+            width=args.width, height=args.height,
+            samples_per_pixel=args.spp if "sppfull" in mods else 1,
             max_bounces=bounces,
             mode="wavefront" if "wave" in mods else args.mode,
             tracer=base,
@@ -105,14 +109,29 @@ def cmd_frame(args):
             proc_coarse=not args.no_coarse,
             beam_prepass="nobeam" not in mods,
             enable_nee="nonee" not in mods,
+            pallas_tile2d="flat1d" not in mods,
+            pallas_unroll=next(
+                (int(m[1:]) for m in mods if m.startswith("u") and m[1:].isdigit()),
+                0,
+            ),
         )
 
-        def frame(f=0, cfg=cfg):
+        def frame(f=0, cfg=cfg, n_chunks=n_chunks):
             acc = None
-            for c in range(chunks):
-                smp = scene.render_samples(*cam, int(f) * chunks + c, cfg).sum(axis=0)
+            for c in range(n_chunks):
+                smp = scene.render_samples(*cam, f * n_chunks + c, cfg).sum(axis=0)
                 acc = smp if acc is None else acc + smp
-            return pack_bgra(acc / chunks)
+            return pack_bgra(acc / (n_chunks * cfg.samples_per_pixel))
+
+        if "onejit" in mods:
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            inner = frame
+            wrapped = _jax.jit(inner)
+
+            def frame(f=0, _w=wrapped):
+                return _w(_jnp.uint32(f))
 
         t0 = time.perf_counter()
         np.asarray(frame())

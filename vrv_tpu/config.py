@@ -65,6 +65,13 @@ class RenderConfig:
     # to 'xla' when edits exist), 'auto' = pallas exactly when on TPU
     # with an edit-free world, xla otherwise
     proc_backend: str = "auto"
+    # with the pallas backend: cell-steps per march-loop iteration
+    # (0 = module default / VRV_PALLAS_UNROLL env). Bit-identical.
+    pallas_unroll: int = 0
+    # with the pallas backend: block rays by 8x128 image tiles (spatially
+    # local -> per-block early exit fires together) instead of flat
+    # row-major strips. Identical results; A/B knob.
+    pallas_tile2d: bool = True
     # conservative per-tile cone march that advances primary rays through
     # proven-empty space before the real trace (ops/dda.beam_march,
     # ~15% frame time on v5e). Never skips a hit; may flip rays passing

@@ -53,7 +53,7 @@ LANES = 128
 import os as _os
 
 # cell-steps per while-loop iteration (A/B knob; docs/PERF.md)
-UNROLL = int(_os.environ.get("VRV_PALLAS_UNROLL", "1"))
+UNROLL = int(_os.environ.get("VRV_PALLAS_UNROLL", "8"))
 
 
 def _simplex3_seeded(x, y, z, seed_mix):
@@ -189,11 +189,19 @@ def coarse_consts(coarse: np.ndarray, grid: np.ndarray = None, air_id: int = 0):
         y_top = np.where(col, ys, -1).max(axis=1)          # (Bx, Bz)
         y_low = (y_top + 1).astype(np.uint32)
         flat = y_low.ravel()
-        nw = (flat.size + 1) // 2
-        words = np.zeros(nw, np.uint32)
-        for i, v in enumerate(flat):
-            words[i >> 1] |= np.uint32(v) << np.uint32(16 * (i & 1))
-        env = ((Bx, Bz), tuple(int(w) for w in words))
+        if Y <= 255:
+            # 4 x 8-bit per word: a 4x smaller select tree in-kernel
+            nw = (flat.size + 3) // 4
+            words = np.zeros(nw, np.uint32)
+            for i, v in enumerate(flat):
+                words[i >> 2] |= np.uint32(v) << np.uint32(8 * (i & 3))
+            env = ((Bx, Bz), 8, tuple(int(w) for w in words))
+        else:
+            nw = (flat.size + 1) // 2
+            words = np.zeros(nw, np.uint32)
+            for i, v in enumerate(flat):
+                words[i >> 1] |= np.uint32(v) << np.uint32(16 * (i & 1))
+            env = ((Bx, Bz), 16, tuple(int(w) for w in words))
 
     return (
         (s1, _pack_occupancy(occ)),
@@ -327,15 +335,13 @@ def _trace_kernel(
             # The ray jumps to the last air cell inside the farther
             # certified region ---
             lvl1, lvl2, env = coarse
+            del lvl1  # measured: the 8-cell level adds tree cost ~ its win
             occ2 = occ_read(lvl2, scx >> 5, scy >> 5, scz >> 5)
-            occ1 = occ_read(lvl1, scx >> 3, scy >> 3, scz >> 3)
-            use2 = ~occ2
-            box_ok = use2 | ~occ1
-            box_b = jnp.where(use2, 32, 8)
-            box_lo_x = ((jnp.where(use2, scx >> 5, scx >> 3)) * box_b).astype(f32)
-            box_lo_y = ((jnp.where(use2, scy >> 5, scy >> 3)) * box_b).astype(f32)
-            box_lo_z = ((jnp.where(use2, scz >> 5, scz >> 3)) * box_b).astype(f32)
-            bf = box_b.astype(f32)
+            box_ok = ~occ2
+            box_lo_x = ((scx >> 5) * 32).astype(f32)
+            box_lo_y = ((scy >> 5) * 32).astype(f32)
+            box_lo_z = ((scz >> 5) * 32).astype(f32)
+            bf = f32(32.0)
 
             def region_skip(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z):
                 tbx = jnp.where(bigx, _BIG, jnp.where(
@@ -368,10 +374,14 @@ def _trace_kernel(
                 box_lo_x + bf, box_lo_y + bf, box_lo_z + bf,
             )
             if env is not None:
-                (Bx, Bz), ewords = env
+                (Bx, Bz), ebits, ewords = env
                 eidx = (scx >> 3) * Bz + (scz >> 3)
-                eword = _const_word_tree(ewords, eidx >> 1)
-                y_low = (eword >> (16 * (eidx & 1))) & 0xFFFF
+                if ebits == 8:
+                    eword = _const_word_tree(ewords, eidx >> 2)
+                    y_low = (eword >> (8 * (eidx & 3))) & 0xFF
+                else:
+                    eword = _const_word_tree(ewords, eidx >> 1)
+                    y_low = (eword >> (16 * (eidx & 1))) & 0xFFFF
                 env_ok = scy >= y_low
                 te, ekx, eky, ekz = region_skip(
                     ((scx >> 3) * 8).astype(f32), y_low.astype(f32),
@@ -480,25 +490,55 @@ def _trace_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("ps", "t_min", "t_max", "interpret", "unroll", "coarse",
-                     "max_steps_cap", "block_rows"),
+                     "max_steps_cap", "block_rows", "hw"),
 )
 def _trace_proc_pallas_flat(ps, o, d, t_min, t_max, interpret=False, unroll=1,
-                            coarse=None, max_steps_cap=0, block_rows=None):
+                            coarse=None, max_steps_cap=0, block_rows=None,
+                            hw=None):
     br = block_rows or BLOCK_ROWS
     n = o.shape[0]
-    rows = (n + LANES - 1) // LANES
-    rows_pad = (rows + br - 1) // br * br
-    n_pad = rows_pad * LANES
+    if hw is not None:
+        # 2D image-tile blocking: rays arrive as (R, W) pixel rows x
+        # columns (R = spp*height); each (br, LANES) pallas block is then
+        # a br x 128 PIXEL TILE — spatially local, so a block's rays share
+        # march length and the per-block early exit fires together. The
+        # flat 1D packing instead gives each block 1024 consecutive
+        # row-major pixels = a strip spanning the whole image width
+        # (sky and mountain in one block -> worst-ray divergence).
+        R, Wd = hw
+        rows_pad = (R + br - 1) // br * br
+        lanes_pad = (Wd + LANES - 1) // LANES * LANES
 
-    def prep(x):
-        return jnp.pad(x, (0, n_pad - n)).reshape(rows_pad, LANES)
+        def prep(x):
+            # padding rays get d = 0 -> degenerate -> never marched
+            return jnp.pad(
+                x.reshape(R, Wd), ((0, rows_pad - R), (0, lanes_pad - Wd))
+            )
 
-    # padding rays get d = 0 -> degenerate -> invalid -> never marched
+        grid = (rows_pad // br, lanes_pad // LANES)
+        spec = pl.BlockSpec((br, LANES), lambda i, j: (i, j))
+        out_shape = (rows_pad, lanes_pad)
+
+        def post(x):
+            return x[:R, :Wd].reshape(-1)
+    else:
+        rows = (n + LANES - 1) // LANES
+        rows_pad = (rows + br - 1) // br * br
+        n_pad = rows_pad * LANES
+
+        def prep(x):
+            return jnp.pad(x, (0, n_pad - n)).reshape(rows_pad, LANES)
+
+        grid = (rows_pad // br,)
+        spec = pl.BlockSpec((br, LANES), lambda i: (i, 0))
+        out_shape = (rows_pad, LANES)
+
+        def post(x):
+            return x.reshape(-1)[:n]
+
     ox, oy, oz = prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2])
     dx, dy, dz = prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2])
 
-    grid = (rows_pad // br,)
-    spec = pl.BlockSpec((br, LANES), lambda i: (i, 0))
     t, packed = pl.pallas_call(
         functools.partial(
             _trace_kernel, ps=ps, t_min=t_min, t_max=t_max, unroll=unroll,
@@ -508,18 +548,24 @@ def _trace_proc_pallas_flat(ps, o, d, t_min, t_max, interpret=False, unroll=1,
         in_specs=[spec] * 6,
         out_specs=[spec, spec],
         out_shape=[
-            jax.ShapeDtypeStruct((rows_pad, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows_pad, LANES), jnp.int32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.int32),
         ],
         interpret=interpret,
     )(ox, oy, oz, dx, dy, dz)
-    return t.reshape(-1)[:n], packed.reshape(-1)[:n]
+    return post(t), post(packed)
 
 
 def trace_proc_pallas(ps, origin, direction, t_min=0.001, t_max=1000.0,
                       pd=None, interpret=False, unroll=None, max_steps_cap=0,
-                      block_rows=None):
-    """Same contract as dda_proc.trace_proc (edit-free worlds only)."""
+                      block_rows=None, hw=None):
+    """Same contract as dda_proc.trace_proc (edit-free worlds only).
+
+    hw=(R, W): optional pixel-grid shape of the flattened ray batch
+    (R = rows = spp*height, W = image width); enables 2D image-tile
+    blocking (see _trace_proc_pallas_flat). Results are identical either
+    way — only the block->ray assignment changes.
+    """
     from vrv_tpu.ops.dda import TraceResult
     from vrv_tpu.ops.dda_proc import _hit_blocks, assemble
 
@@ -529,13 +575,15 @@ def trace_proc_pallas(ps, origin, direction, t_min=0.001, t_max=1000.0,
     shape = origin.shape[:-1]
     o = origin.reshape(-1, 3).astype(jnp.float32)
     d = direction.reshape(-1, 3).astype(jnp.float32)
+    if hw is not None and hw[0] * hw[1] != o.shape[0]:
+        raise ValueError(f"hw {hw} does not tile {o.shape[0]} rays")
     t, packed = _trace_proc_pallas_flat(ps, o, d, float(t_min), float(t_max),
                                         interpret=interpret,
                                         unroll=UNROLL if unroll is None else unroll,
                                         coarse=(ps.coarse_const or None)
                                         if ps.use_coarse else None,
                                         max_steps_cap=max_steps_cap,
-                                        block_rows=block_rows)
+                                        block_rows=block_rows, hw=hw)
     hit = (packed & 1) == 1
     entering = ((packed >> 1) & 1) == 1
     face = (packed >> 2) & 7

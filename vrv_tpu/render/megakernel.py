@@ -131,6 +131,11 @@ def render_samples(
                     tr = trace_proc_pallas(
                         proc_static, o_tr, d, t_min=cfg.t_min, t_max=cfg.t_max,
                         pd=proc,
+                        unroll=cfg.pallas_unroll or None,
+                        # 2D image-tile blocking: each pallas block is an
+                        # 8 x 128 PIXEL TILE (bounce rays inherit their
+                        # pixel's slot, so locality persists across bounces)
+                        hw=(S * H, W) if cfg.pallas_tile2d else None,
                     )
                 else:
                     from vrv_tpu.ops.dda_proc import trace_proc
