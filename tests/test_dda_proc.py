@@ -242,3 +242,42 @@ def test_coarse_dist_certificate(block_table, worldgen_scene):
             lo = np.maximum(c - r, 0)
             hi = np.minimum(c + r + 1, coarse.shape)
             assert not occ[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]].any()
+
+
+def test_incremental_proc_sync_matches_full(block_table):
+    """scene._sync_proc_edit (per-edit diff-map update) must produce the
+    same proc view as a full _sync_proc re-derivation after any edit
+    sequence, including edits that restore pristine worldgen cells."""
+    import numpy as np
+
+    from vrv_tpu.config import WorldConfig
+    from vrv_tpu.render.scene import Scene
+
+    g = 32
+    wc = WorldConfig(size=(g, g, g), origin=(-g // 2, -g // 2, -g // 2), seed=0)
+    sc = Scene(wc, table=block_table)
+    stone = int(block_table.block_idx("stone"))
+    lamp = int(block_table.block_idx("lamp"))
+    air = int(block_table.air)
+
+    rng = np.random.default_rng(3)
+    placed = []
+    for i in range(12):
+        c = rng.integers(2, g - 2, 3) + np.asarray(wc.origin)
+        sc.set_block(c, [stone, lamp, air][i % 3])
+        placed.append(c)
+    for c in placed[:4]:  # restore some cells to their original value
+        cell = tuple(np.asarray(c) - np.asarray(wc.origin))
+        sc.set_block(c, int(sc._pristine[cell]))
+
+    inc_static, inc_arrays = sc.proc_static, sc.proc_arrays
+    sc._sync_proc()  # full re-derivation from the grid
+    assert sc.proc_static == inc_static
+    if inc_static is not None and inc_static.n_edits:
+        for k in ("edit_cells", "edit_blocks", "edit_solid", "edit_translucent"):
+            np.testing.assert_array_equal(
+                np.asarray(inc_arrays[k]), np.asarray(sc.proc_arrays[k]), err_msg=k
+            )
+    np.testing.assert_array_equal(
+        np.asarray(inc_arrays["coarse"]), np.asarray(sc.proc_arrays["coarse"])
+    )

@@ -50,15 +50,21 @@ def main():
     scene = Scene(wc)
     print(f"device: {jax.devices()[0]}", flush=True)
 
-    # bench.py camera: above the terrain surface, pitched down
+    # the game's own interactive camera (camera.rs semantics) orbiting a
+    # point just above the terrain surface — the same kind of pose the
+    # reference's published screenshots use (above-terrain, looking
+    # slightly down into shaded relief, so surface color isn't all
+    # clipped to white by direct sky light)
+    from vrv_tpu.camera import SphericalCamera
+
     grid_np = np.asarray(scene.grid)
     solid = scene.table.solid[grid_np]
     ys = np.nonzero(solid[g // 2, :, g // 2])[0]
     y_surf = (int(ys.max()) if len(ys) else g // 2) + wc.origin[1]
-    eye = np.array([0.0, y_surf + 12.0, -24.0], np.float32)
-    front = np.array([0.0, -0.35, 0.936], np.float32)
-    right = np.array([-1.0, 0.0, 0.0], np.float32)
-    up = np.array([0.0, -0.936, -0.35], np.float32)
+    cam = SphericalCamera()
+    cam.set_root_position(np.array([0.0, y_surf + 2.0, 0.0]))
+    cam.pitch, cam.yaw, cam.offset = -0.4, 1.9, 14.0
+    eye, front, right, up = cam.eye_front_right_up()
 
     base = RenderConfig(width=args.width, height=args.height, tracer=args.tracer)
 

@@ -324,12 +324,52 @@ def cmd_edits(args):
             print(f"  {k}: {dt * 1e3:8.1f} ms/pass", flush=True)
 
 
+def cmd_editlat(args):
+    """set_block latency: incremental distance-field patch vs full rebuild
+    (VERDICT r1 next-round item 6's measurement)."""
+    _init_jax()
+    import jax
+
+    scene, _ = _bench_scene(args.grid)
+    stone = scene.table.block_idx("stone")
+    air = int(scene.table.air)
+    rng_ = np.random.default_rng(1)
+
+    def one_edit(incremental: bool):
+        c = rng_.integers(8, args.grid - 8, 3) + np.asarray(scene.world_cfg.origin)
+        old = scene.get_block(c)
+        new = stone if old == air else air
+        t0 = time.perf_counter()
+        if incremental:
+            scene.set_block(c, new)
+            jax.block_until_ready(scene.dist)
+        else:
+            # force the round-1 full path: raw grid write + full rebuild
+            from vrv_tpu.render.scene import _set_cell
+            import jax.numpy as jnp
+
+            scene.grid = _set_cell(
+                scene.grid, jnp.asarray(c - scene.origin.astype(np.int64), jnp.int32),
+                jnp.uint8(new),
+            )
+            scene._rebuild_dist()
+            jax.block_until_ready(scene.dist)
+            scene._sync_proc()
+        return time.perf_counter() - t0
+
+    for inc in (True, False):
+        one_edit(inc)  # warm compiles
+        ts = [one_edit(inc) for _ in range(args.reps)]
+        name = "incremental" if inc else "full-rebuild"
+        print(f"  {name}: {statistics.median(ts) * 1e3:8.1f} ms/edit", flush=True)
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in (
         ("frame", cmd_frame), ("trace", cmd_trace), ("gather", cmd_gather),
-        ("noise", cmd_noise), ("edits", cmd_edits),
+        ("noise", cmd_noise), ("edits", cmd_edits), ("editlat", cmd_editlat),
     ):
         sp = sub.add_parser(name)
         sp.set_defaults(fn=fn)

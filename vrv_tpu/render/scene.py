@@ -76,6 +76,11 @@ class Scene:
         if grid is None:
             grid = chunklib.generate_dense_grid(world_cfg, self.table)
         self.grid = jnp.asarray(grid, jnp.uint8)
+        # host mirror: every host-side consumer (light scan, proc diff,
+        # edit checks) reads this instead of fetching the whole device
+        # array — a 2 MB device->host pull costs ~100 ms through the
+        # remote-compile tunnel, which used to dominate edit latency
+        self._grid_np = np.array(np.asarray(self.grid))
         self.origin = np.asarray(world_cfg.origin, np.float32)
         self.translucent = jnp.asarray(self.table.translucent)
         self.materials = {
@@ -199,7 +204,7 @@ class Scene:
         from vrv_tpu.ops import dda_proc
 
         wc = self.world_cfg
-        grid_np = np.asarray(self.grid)
+        grid_np = self._grid_np
         key = (tuple(wc.origin), grid_np.shape, wc.seed)
         ps0 = dda_proc.ProcStatic(
             seed=wc.seed, noise_scale=wc.noise_scale, y_falloff=wc.y_falloff,
@@ -221,18 +226,46 @@ class Scene:
             ).reshape(grid_np.shape)
             self._pristine_key = key
         diff = np.argwhere(self._pristine != grid_np)
-        if len(diff) > self.PROC_EDIT_CAP:
+        self._proc_diff = {
+            tuple(int(x) for x in c): int(grid_np[tuple(c)]) for c in diff
+        }
+        self._proc_ps0 = ps0
+        self._proc_finalize()
+
+    def _sync_proc_edit(self, cell) -> None:
+        """Incremental _sync_proc after one set_block: update the diff map
+        at the edited cell only (the pristine prediction is cached) —
+        avoids the full-grid compare per edit."""
+        if getattr(self, "_pristine", None) is None or not hasattr(self, "_proc_diff"):
+            return self._sync_proc()
+        key = (tuple(self.world_cfg.origin), self._grid_np.shape, self.world_cfg.seed)
+        if self._pristine_key != key:
+            return self._sync_proc()
+        ct = tuple(int(x) for x in cell)
+        new = int(self._grid_np[ct])
+        if int(self._pristine[ct]) == new:
+            self._proc_diff.pop(ct, None)
+        else:
+            self._proc_diff[ct] = new
+        self._proc_finalize()
+
+    def _proc_finalize(self) -> None:
+        """Build (proc_static, proc_arrays) from the current diff map."""
+        from vrv_tpu.ops import dda_proc
+
+        grid_np = self._grid_np
+        ps0 = self._proc_ps0
+        if len(self._proc_diff) > self.PROC_EDIT_CAP:
             self.proc_static = None
             self.proc_arrays = None
             return
-        n = len(diff)
+        n = len(self._proc_diff)
         cap = 0 if n == 0 else max(16, 1 << (n - 1).bit_length())
         cells = np.full((cap, 3), -(1 << 20), np.int32)  # sentinel: never matches
         blocks = np.full(cap, self.table.air, np.uint8)
         solidv = np.zeros(cap, bool)
         transl = np.ones(cap, bool)
-        for i, c in enumerate(diff):
-            b = int(grid_np[tuple(c)])
+        for i, (c, b) in enumerate(sorted(self._proc_diff.items())):
             cells[i] = c
             blocks[i] = b
             solidv[i] = b != self.table.air
@@ -279,8 +312,7 @@ class Scene:
         self._rebuild_lights()
 
     def _rebuild_lights(self):
-        grid_np = np.asarray(self.grid)
-        tris, lpa = lb.emissive_triangles(grid_np, self.table)
+        tris, lpa = lb.emissive_triangles(self._grid_np, self.table)
         if len(self._inst_light_tri):
             # grid lights + instance lights in one tree (the reference keeps
             # per-object BL BVHs under a TL BVH, scene.rs:260-308; one flat
@@ -295,7 +327,7 @@ class Scene:
         if old in self._emissive_blocks or new in self._emissive_blocks:
             return True
         # neighbouring an emissive block changes its face set
-        grid_np = np.asarray(self.grid)
+        grid_np = self._grid_np
         size = np.asarray(grid_np.shape)
         for off in chunklib.FACE_NEIGHBOR:
             nb = cell + off
@@ -312,12 +344,13 @@ class Scene:
         size = np.asarray(self.grid.shape)
         if ((cell < 0) | (cell >= size)).any():
             return None
-        return int(np.asarray(self.grid[tuple(cell)]))
+        return int(self._grid_np[tuple(cell)])
 
     def set_grid(self, grid: np.ndarray, origin) -> None:
         """Replace the whole window (streaming-world recenter): new block
         array + world origin, with every derived structure rebuilt once."""
         self.grid = jnp.asarray(grid, jnp.uint8)
+        self._grid_np = np.array(grid, dtype=np.uint8)
         self.origin = np.asarray(origin, np.float32)
         self.world_cfg = self.world_cfg.replace(
             origin=tuple(int(x) for x in origin)
@@ -333,9 +366,10 @@ class Scene:
         size = np.asarray(self.grid.shape)
         if ((cell < 0) | (cell >= size)).any():
             return False
-        old = int(np.asarray(self.grid[tuple(cell)]))
+        old = int(self._grid_np[tuple(cell)])
         touches = self._edit_touches_lights(cell, old, block_id)
         self.grid = _set_cell(self.grid, jnp.asarray(cell, jnp.int32), jnp.uint8(block_id))
+        self._grid_np[tuple(cell)] = block_id
         self.tlas_rebuilds += 1
         # incremental derived-structure update: a single-cell edit only
         # moves the distance field within chebyshev radius cap of the cell
@@ -358,7 +392,7 @@ class Scene:
             self._repack_rows()
         if touches:
             self._rebuild_lights()
-        self._sync_proc()
+        self._sync_proc_edit(cell)
         return True
 
     # ------------------------------------------------------------------
