@@ -65,6 +65,10 @@ class RenderConfig:
     # to 'xla' when edits exist), 'auto' = pallas exactly when on TPU
     # with an edit-free world, xla otherwise
     proc_backend: str = "auto"
+    # with the pallas backend: fuse all bounces into one persistent-ray
+    # path kernel when eligible (no lights/instances/edits, lambert-only
+    # worldgen, murmur3) — ops/pallas/path_proc.py. A/B knob.
+    pallas_fused: bool = True
     # with the pallas backend: cell-steps per march-loop iteration
     # (0 = module default / VRV_PALLAS_UNROLL env). Bit-identical.
     pallas_unroll: int = 0

@@ -72,6 +72,11 @@ class ProcStatic(NamedTuple):
     # (ops/pallas/trace_proc.coarse_consts; () = none). Static is sound
     # because the pallas tracer only serves edit-free worldgen scenes.
     coarse_const: tuple = ()
+    # True when every reachable block's materials are statically
+    # lambertian (metallicity == 0 and alpha == 1 on all texels of
+    # grass/stone) — the precondition for the fused path kernel
+    # (ops/pallas/path_proc.py), whose in-kernel scatter needs no texels.
+    lambert_only: bool = False
 
 
 class ProcWorld(NamedTuple):

@@ -55,6 +55,9 @@ import os as _os
 # cell-steps per while-loop iteration (A/B knob; docs/PERF.md)
 UNROLL = int(_os.environ.get("VRV_PALLAS_UNROLL", "8"))
 
+# force interpret mode (tests: runs the kernels as XLA ops on any backend)
+INTERPRET = bool(int(_os.environ.get("VRV_PALLAS_INTERPRET", "0")))
+
 
 def _simplex3_seeded(x, y, z, seed_mix):
     """ops/noise.simplex3 with the host-side seed mix precomputed.
@@ -577,8 +580,10 @@ def trace_proc_pallas(ps, origin, direction, t_min=0.001, t_max=1000.0,
     d = direction.reshape(-1, 3).astype(jnp.float32)
     if hw is not None and hw[0] * hw[1] != o.shape[0]:
         raise ValueError(f"hw {hw} does not tile {o.shape[0]} rays")
+    import vrv_tpu.ops.pallas.trace_proc as _self
+
     t, packed = _trace_proc_pallas_flat(ps, o, d, float(t_min), float(t_max),
-                                        interpret=interpret,
+                                        interpret=interpret or _self.INTERPRET,
                                         unroll=UNROLL if unroll is None else unroll,
                                         coarse=(ps.coarse_const or None)
                                         if ps.use_coarse else None,

@@ -114,6 +114,33 @@ def render_samples(
     d = d.reshape(n, 3)
     seeds = sample_seed.reshape(n)
 
+    # fused path kernel (ops/pallas/path_proc.py): when no component of
+    # shading needs memory inside the march (no lights, no instances,
+    # lambert-only worldgen materials, murmur3 draws), trace ALL bounces
+    # of every ray in one persistent-state kernel; the loop below then
+    # replays shading over the recorded per-bounce hits, consuming the
+    # kernel's sampled directions so the path chain is exactly what the
+    # kernel marched.
+    fused_traces = fused_dirs = None
+    if (
+        use_pallas
+        and cfg.pallas_fused
+        and bvh is None
+        and inst is None
+        and cfg.debug_view == "none"
+        and cfg.rng == "murmur3"
+        and proc_static.lambert_only
+    ):
+        from vrv_tpu.ops.pallas.path_proc import trace_path_pallas
+
+        with jax.named_scope("fused_path_trace"):
+            fused_traces, fused_dirs = trace_path_pallas(
+                proc_static, o, d, seeds, cfg.max_bounces,
+                t_min=cfg.t_min, t_max=cfg.t_max, pd=proc,
+                unroll=cfg.pallas_unroll or None,
+                hw=(S * H, W) if cfg.pallas_tile2d else None,
+            )
+
     color = jnp.zeros((n, 3), jnp.float32)
     throughput = jnp.ones((n, 3), jnp.float32)
     alive = jnp.ones((n,), bool)
@@ -124,7 +151,9 @@ def render_samples(
         # (reference README.md:40-43)
         with jax.named_scope(f"trace_b{bounce}"):
             o_tr = o + adv[:, None] * d if (bounce == 0 and adv is not None) else o
-            if cfg.tracer == "proc" and proc_static is not None:
+            if fused_traces is not None:
+                tr = fused_traces[bounce]
+            elif cfg.tracer == "proc" and proc_static is not None:
                 if use_pallas:
                     from vrv_tpu.ops.pallas.trace_proc import trace_proc_pallas
 
@@ -210,7 +239,12 @@ def render_samples(
         color = color + jnp.where(alive[:, None], throughput * br.emissivity, 0.0)
         throughput = jnp.where(alive[:, None], throughput * br.reflectivity, 0.0)
         alive = alive & ~br.miss
-        o, d = br.new_origin, br.new_direction
+        o = br.new_origin
+        if fused_traces is not None and bounce + 1 < cfg.max_bounces:
+            # the direction the kernel actually marched for the next bounce
+            d = fused_dirs[bounce]
+        else:
+            d = br.new_direction
 
     return color.reshape(S, H, W, 3)
 

@@ -206,6 +206,13 @@ class Scene:
         wc = self.world_cfg
         grid_np = self._grid_np
         key = (tuple(wc.origin), grid_np.shape, wc.seed)
+        t = self.table
+        lambert_only = all(
+            float(t.metallicity[b * 6 + f].max()) == 0.0
+            and float(t.reflectivity[b * 6 + f][..., 3].min()) == 1.0
+            for b in (int(t.block_idx("grass")), int(t.block_idx("stone")))
+            for f in range(6)
+        )
         ps0 = dda_proc.ProcStatic(
             seed=wc.seed, noise_scale=wc.noise_scale, y_falloff=wc.y_falloff,
             threshold=wc.threshold, origin=tuple(int(x) for x in wc.origin),
@@ -213,6 +220,7 @@ class Scene:
             grass=int(self.table.block_idx("grass")),
             stone=int(self.table.block_idx("stone")),
             air=int(self.table.air), n_edits=0,
+            lambert_only=lambert_only,
         )
         if self._pristine_key != key:
             xs, ys, zs = np.meshgrid(
