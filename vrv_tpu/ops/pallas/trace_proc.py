@@ -53,7 +53,7 @@ LANES = 128
 import os as _os
 
 # cell-steps per while-loop iteration (A/B knob; docs/PERF.md)
-UNROLL = int(_os.environ.get("VRV_PALLAS_UNROLL", "8"))
+UNROLL = int(_os.environ.get("VRV_PALLAS_UNROLL", "12"))
 
 # force interpret mode (tests: runs the kernels as XLA ops on any backend)
 INTERPRET = bool(int(_os.environ.get("VRV_PALLAS_INTERPRET", "0")))

@@ -134,8 +134,12 @@ def render_samples(
         from vrv_tpu.ops.pallas.path_proc import trace_path_pallas
 
         with jax.named_scope("fused_path_trace"):
+            # in-kernel skip certificates OFF here: measured a net loss in
+            # the fused kernel (285 vs 303 ms/frame — bounce rays rarely
+            # clear the certificates, so the per-step tree cost dominates)
             fused_traces, fused_dirs = trace_path_pallas(
-                proc_static, o, d, seeds, cfg.max_bounces,
+                proc_static._replace(use_coarse=False), o, d, seeds,
+                cfg.max_bounces,
                 t_min=cfg.t_min, t_max=cfg.t_max, pd=proc,
                 unroll=cfg.pallas_unroll or None,
                 hw=(S * H, W) if cfg.pallas_tile2d else None,
