@@ -69,6 +69,11 @@ class RenderConfig:
     # path kernel when eligible (no lights/instances/edits, lambert-only
     # worldgen, murmur3) — ops/pallas/path_proc.py. A/B knob.
     pallas_fused: bool = True
+    # fused kernel: gate the per-chunk retire (sampling + re-init) behind
+    # a block-level branch when nothing resolved. Measured SLOWER (234 vs
+    # 222 ms/frame: the scf.if over the large carry costs more than the
+    # skipped retires save) — off by default, kept as an A/B knob.
+    pallas_retire_cond: bool = False
     # with the pallas backend: cell-steps per march-loop iteration
     # (0 = module default / VRV_PALLAS_UNROLL env). Bit-identical.
     pallas_unroll: int = 0

@@ -106,7 +106,7 @@ def _combine(h, k):
 
 def _path_kernel(
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, seed_ref, *out_refs,
-    ps, t_min, t_max, n_bounces, unroll, coarse,
+    ps, t_min, t_max, n_bounces, unroll, coarse, retire_cond=True,
 ):
     f32 = jnp.float32
     i32 = jnp.int32
@@ -508,13 +508,30 @@ def _path_kernel(
             merge_f(ihz, jnp.where(resolved, 0, hz)),
             merge_b(ient, entering & ~resolved).astype(i32),
             tuple(o_t), tuple(o_p), tuple(o_d),
-            chunks + 1,
+            chunks,
         )
 
     def body(s):
         for _ in range(max(1, unroll)):
             s = march_step(s)
-        return retire(s)
+        # retire is the identity when nothing resolved this chunk, and in
+        # the tail (a few long rays marching) most chunks resolve nothing
+        # — gate the whole retire (sampling + re-init incl. a noise eval)
+        # behind a block-level branch
+        if retire_cond:
+            pbounce, mhit_i, mdead_i = s[0], s[14], s[15]
+            any_res = (
+                jnp.max(
+                    jnp.where(
+                        (pbounce < B) & ((mhit_i | mdead_i) != 0), 1, 0
+                    )
+                )
+                > 0
+            )
+            s = jax.lax.cond(any_res, retire, lambda ss: ss, s)
+        else:
+            s = retire(s)
+        return s[:-1] + (s[-1] + 1,)
 
     s = jax.lax.while_loop(cond, body, state)
     o_t, o_p, o_d = s[-4], s[-3], s[-2]
@@ -534,10 +551,11 @@ def _path_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("ps", "t_min", "t_max", "n_bounces", "interpret",
-                     "unroll", "coarse", "hw"),
+                     "unroll", "coarse", "hw", "retire_cond"),
 )
 def _path_pallas_flat(ps, o, d, seeds, t_min, t_max, n_bounces,
-                      interpret=False, unroll=1, coarse=None, hw=None):
+                      interpret=False, unroll=1, coarse=None, hw=None,
+                      retire_cond=True):
     br = BLOCK_ROWS
     n = o.shape[0]
     B = n_bounces
@@ -588,7 +606,7 @@ def _path_pallas_flat(ps, o, d, seeds, t_min, t_max, n_bounces,
     outs = pl.pallas_call(
         functools.partial(
             _path_kernel, ps=ps, t_min=t_min, t_max=t_max, n_bounces=B,
-            unroll=unroll, coarse=coarse,
+            unroll=unroll, coarse=coarse, retire_cond=retire_cond,
         ),
         grid=grid,
         in_specs=[spec] * 7,
@@ -601,7 +619,7 @@ def _path_pallas_flat(ps, o, d, seeds, t_min, t_max, n_bounces,
 
 def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
                       t_min=0.001, t_max=1000.0, pd=None, interpret=False,
-                      unroll=None, hw=None):
+                      unroll=None, hw=None, retire_cond=True):
     """Trace a FULL path (n_bounces bounces) per ray in one kernel.
 
     Preconditions (caller-checked): edit-free worldgen scene, no lights,
@@ -629,7 +647,7 @@ def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
         interpret=interpret or _tp.INTERPRET,
         unroll=UNROLL if unroll is None else unroll,
         coarse=(ps.coarse_const or None) if ps.use_coarse else None,
-        hw=hw,
+        hw=hw, retire_cond=retire_cond,
     )
     pw = assemble(ps, pd)
     traces = []

@@ -143,6 +143,7 @@ def render_samples(
                 t_min=cfg.t_min, t_max=cfg.t_max, pd=proc,
                 unroll=cfg.pallas_unroll or None,
                 hw=(S * H, W) if cfg.pallas_tile2d else None,
+                retire_cond=cfg.pallas_retire_cond,
             )
 
     color = jnp.zeros((n, 3), jnp.float32)
