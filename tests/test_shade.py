@@ -132,3 +132,35 @@ def test_emissive_lamp_scales_with_cosine(block_table):
     e1 = np.asarray(_bounce(block_table, tr1, o1, d1).emissivity)[0]
     ratio = e1 / np.maximum(e0, 1e-9)
     np.testing.assert_allclose(ratio, 1.0 / np.sqrt(2), rtol=3e-2)
+
+
+def test_fetch_atlas_onehot_bit_identical(block_table):
+    """The one-hot MXU atlas fetch equals the gather bit-for-bit on the
+    covered texture set and returns zeros outside it."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vrv_tpu.ops.shade import _fetch_atlas, _fetch_atlas_onehot
+
+    packed = np.concatenate(
+        [block_table.reflectivity, block_table.emissivity,
+         block_table.metallicity], axis=-1,
+    )
+    atlas = jnp.asarray(packed)
+    grass = int(block_table.block_idx("grass"))
+    stone = int(block_table.block_idx("stone"))
+    tex_set = tuple(b * 6 + f for b in (grass, stone) for f in range(6))
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    t = jnp.asarray(rng.choice(tex_set, n).astype(np.int32))
+    u = jnp.asarray(rng.random(n, dtype=np.float32))
+    v = jnp.asarray(rng.random(n, dtype=np.float32))
+    ref = np.asarray(_fetch_atlas(atlas, t, u, v))
+    got = np.asarray(_fetch_atlas_onehot(atlas, t, u, v, tex_set))
+    assert (ref == got).all()
+
+    # ids outside the set -> zeros (downstream hit-masking discards them)
+    t_out = jnp.full((8,), int(block_table.air) * 6, jnp.int32)
+    z = np.asarray(_fetch_atlas_onehot(atlas, t_out, u[:8], v[:8], tex_set))
+    assert (z == 0).all()

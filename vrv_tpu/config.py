@@ -69,6 +69,9 @@ class RenderConfig:
     # path kernel when eligible (no lights/instances/edits, lambert-only
     # worldgen, murmur3) — ops/pallas/path_proc.py. A/B knob.
     pallas_fused: bool = True
+    # fused path: fetch texels via an exact one-hot MXU matmul over the
+    # reachable 12-texture set instead of the ~8 ns/row gather. A/B knob.
+    pallas_onehot_tex: bool = True
     # fused kernel: gate the per-chunk retire (sampling + re-init) behind
     # a block-level branch when nothing resolved. Measured SLOWER (234 vs
     # 222 ms/frame: the scf.if over the large carry costs more than the

@@ -56,6 +56,44 @@ def _fetch_atlas(atlas: jax.Array, t: jax.Array, u: jax.Array, v: jax.Array):
     return jnp.take(flat, idx, axis=0)
 
 
+def _fetch_atlas_onehot(atlas: jax.Array, t: jax.Array, u: jax.Array,
+                        v: jax.Array, tex_set: tuple):
+    """_fetch_atlas as an exact one-hot MXU matmul over a small texture set.
+
+    Valid when every texture a ray can hit is in `tex_set` (a static
+    tuple of texture ids) — rows whose t is outside the set return 0,
+    which downstream hit-masking already discards. A HIGHEST-precision
+    one-hot matmul reproduces the f32 texel values exactly (one 1.0 per
+    row; the rest contribute exact zeros), so results are bit-identical
+    to the gather. Replaces an ~8 ns/row scalar-loop gather with one
+    (n,256)@(256, len(tex_set)*C) matmul + a len(tex_set)-way select.
+    """
+    size = atlas.shape[1]
+    C = atlas.shape[-1]
+    tx = jnp.clip((u * size).astype(jnp.int32), 0, size - 1)
+    ty = jnp.clip((v * size).astype(jnp.int32), 0, size - 1)
+    texel = ty * size + tx                                   # (n,) in [0,256)
+    onehot = (
+        texel[:, None] == jnp.arange(size * size, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+    # (256, K*C): texel-major table of the selected textures
+    table = (
+        atlas[jnp.asarray(tex_set)]                          # (K, 16, 16, C)
+        .reshape(len(tex_set), size * size, C)
+        .transpose(1, 0, 2)
+        .reshape(size * size, len(tex_set) * C)
+    )
+    rows = jnp.dot(
+        onehot, table,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(-1, len(tex_set), C)                           # (n, K, C)
+    out = jnp.zeros((t.shape[0], C), jnp.float32)
+    for k, tid in enumerate(tex_set):
+        out = jnp.where((t == tid)[:, None], rows[:, k], out)
+    return out
+
+
 # Per-face constants packed into one (6, 29) matrix so the whole face-state
 # fetch is a single one-hot matmul on the MXU instead of seven scalar-looped
 # table gathers (TPU random access runs ~8 ns/element; see probe notes):
@@ -101,6 +139,7 @@ def do_bounce(
     bvh_max_depth: int = 0,
     inst: Optional[dict] = None,
     inst_hit=None,
+    tex_set: Optional[tuple] = None,
 ) -> BounceResult:
     """One path-tracing bounce for a flat ray batch.
 
@@ -191,7 +230,12 @@ def do_bounce(
         t_mat = jnp.where(use_inst, tmat_i, t_mat)
         new_origin = jnp.where(m, p_i, new_origin)
 
-    if "packed" in materials:
+    if tex_set is not None and "packed" in materials:
+        # small reachable texture set (e.g. the fused path kernel's
+        # lambert-only worldgen scenes): exact one-hot MXU fetch
+        tex = _fetch_atlas_onehot(materials["packed"], t_mat, u, v, tex_set)
+        tex0, tex1, tex2 = tex[:, :4], tex[:, 4:7], tex[:, 7:8]
+    elif "packed" in materials:
         # one 8-wide row gather instead of three (rows cost the same as
         # single elements on TPU; tools/probe_tpu.py)
         tex = _fetch_atlas(materials["packed"], t_mat, u, v)

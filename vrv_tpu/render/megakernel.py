@@ -218,6 +218,15 @@ def render_samples(
                     o, d, inst["tri"], inst["valid"], t_min=cfg.t_min, t_max=cfg.t_max
                 )
         with jax.named_scope(f"shade_b{bounce}"):
+            # fused path: hits can only be grass/stone (lambert worldgen)
+            # -> the atlas fetch rides the MXU over that 12-texture set
+            tex_set = None
+            if fused_traces is not None and cfg.pallas_onehot_tex:
+                tex_set = tuple(
+                    b * 6 + f
+                    for b in (proc_static.grass, proc_static.stone)
+                    for f in range(6)
+                )
             br = shade.do_bounce(
                 o, d, tr, bounce_seed, materials,
                 bvh if cfg.enable_nee else None,
@@ -227,6 +236,7 @@ def render_samples(
                 nee_mis_clamp=cfg.nee_mis_clamp,
                 bvh_max_depth=bvh_max_depth,
                 inst=inst, inst_hit=inst_hit,
+                tex_set=tex_set,
             )
         if cfg.debug_view == "albedo" and bounce == 0:
             # bounce-0 reflectivity visualization: textured surfaces +
