@@ -113,6 +113,7 @@ def cmd_frame(args):
             pallas_fused="nofuse" not in mods,
             pallas_retire_cond="rc0" not in mods,
             pallas_onehot_tex="gath" not in mods,
+            pallas_prepad="nopp" not in mods,
             pallas_unroll=next(
                 (int(m[1:]) for m in mods if m.startswith("u") and m[1:].isdigit()),
                 0,

@@ -72,6 +72,9 @@ class RenderConfig:
     # fused path: fetch texels via an exact one-hot MXU matmul over the
     # reachable 12-texture set instead of the ~8 ns/row gather. A/B knob.
     pallas_onehot_tex: bool = True
+    # fused path: pre-pad rays to the tile grid and shade on the padded
+    # layout (one slice at the end). A/B knob.
+    pallas_prepad: bool = True
     # fused kernel: gate the per-chunk retire (sampling + re-init) behind
     # a block-level branch when nothing resolved. Measured SLOWER (234 vs
     # 222 ms/frame: the scf.if over the large carry costs more than the

@@ -122,6 +122,7 @@ def render_samples(
     # kernel's sampled directions so the path chain is exactly what the
     # kernel marched.
     fused_traces = fused_dirs = None
+    fused_pad = None   # (Rp, Wp) when shading runs on the padded layout
     if (
         use_pallas
         and cfg.pallas_fused
@@ -133,6 +134,31 @@ def render_samples(
     ):
         from vrv_tpu.ops.pallas.path_proc import trace_path_pallas
 
+        hw = None
+        if cfg.pallas_tile2d:
+            # pre-pad the ray layout to the kernel's tile grid ONCE and
+            # keep the WHOLE bounce loop on the padded layout (padding
+            # lanes are degenerate: miss -> masked everywhere) — the
+            # kernel's per-array pads and the 17 per-output slices become
+            # no-ops, and one slice at the very end recovers the frame
+            R = S * H
+            Rp = (R + 7) // 8 * 8
+            Wp = (W + 127) // 128 * 128
+            if not cfg.pallas_prepad:
+                Rp, Wp = R, W
+            if (Rp, Wp) != (R, W):
+                def pad2(x):
+                    shaped = x.reshape((R, W) + x.shape[1:])
+                    return jnp.pad(
+                        shaped,
+                        [(0, Rp - R), (0, Wp - W)] + [(0, 0)] * (x.ndim - 1),
+                    ).reshape((Rp * Wp,) + x.shape[1:])
+
+                o = pad2(o)
+                d = pad2(d)
+                seeds = pad2(seeds)
+                fused_pad = (Rp, Wp)
+            hw = (Rp, Wp)
         with jax.named_scope("fused_path_trace"):
             # in-kernel skip certificates OFF here: measured a net loss in
             # the fused kernel (285 vs 303 ms/frame — bounce rays rarely
@@ -142,9 +168,10 @@ def render_samples(
                 cfg.max_bounces,
                 t_min=cfg.t_min, t_max=cfg.t_max, pd=proc,
                 unroll=cfg.pallas_unroll or None,
-                hw=(S * H, W) if cfg.pallas_tile2d else None,
+                hw=hw,
                 retire_cond=cfg.pallas_retire_cond,
             )
+        n = o.shape[0]
 
     color = jnp.zeros((n, 3), jnp.float32)
     throughput = jnp.ones((n, 3), jnp.float32)
@@ -261,6 +288,9 @@ def render_samples(
         else:
             d = br.new_direction
 
+    if fused_pad is not None:
+        Rp, Wp = fused_pad
+        return color.reshape(Rp, Wp, 3)[: S * H, :W].reshape(S, H, W, 3)
     return color.reshape(S, H, W, 3)
 
 
