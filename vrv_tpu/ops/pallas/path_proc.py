@@ -415,11 +415,8 @@ def _path_kernel(
         frz = hpz - hz.astype(f32)
 
         # tri1 selection: fa + fb > 1 in the face's in-plane axes
-        a_axis = jnp.asarray([fc["axes"][f][0] for f in range(6)])
-        b_axis = jnp.asarray([fc["axes"][f][1] for f in range(6)])
         a_ax = _sel_face(face, [fc["axes"][f][0] for f in range(6)]).astype(i32)
         b_ax = _sel_face(face, [fc["axes"][f][1] for f in range(6)]).astype(i32)
-        del a_axis, b_axis
 
         def comp(vx, vy, vz, axis_idx):
             return jnp.where(
