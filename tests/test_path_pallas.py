@@ -126,3 +126,33 @@ def test_fused_path_records_match_staged_traces(block_table, interpret_pallas):
             rtol=1e-5, atol=1e-5, err_msg=f"bounce {b}: t",
         )
         cur_o, cur_d = nxt_o, nxt_d
+
+
+@pytest.mark.parametrize("pose,seed", [
+    # inside-terrain view, different world seed
+    ((np.array([2.0, 6.0, 2.0]), 0.9, -0.2), 3),
+    # horizon-grazing view (tail-ray class)
+    ((np.array([0.0, 17.0, -14.0]), 0.1, -0.05), 0),
+    # looking straight up into sky (fast-miss class)
+    ((np.array([0.0, 20.0, 0.0]), 0.0, 1.2), 1),
+])
+def test_fused_path_bit_identical_poses(block_table, interpret_pallas, pose, seed):
+    """The fused==staged bit-identity gate across ray-population classes
+    (terrain-dense, grazing-tail, sky-heavy) and world seeds."""
+    from vrv_tpu.camera import dir_vecs
+
+    g = 32
+    wc = WorldConfig(size=(g, g, g), origin=(-g // 2, -g // 2, -g // 2),
+                     seed=seed)
+    sc = Scene(wc, table=block_table)
+    if sc.proc_static is None or sc.proc_static.n_edits:
+        pytest.skip("worldgen drift produced edits; fused path not eligible")
+    eye, yaw, pitch = pose
+    front, right, up = dir_vecs(np.array([0.0, -1.0, 0.0]), pitch, yaw)
+    cfg = RenderConfig(width=16, height=12, samples_per_pixel=2, max_bounces=4,
+                       tracer="proc", pallas_unroll=1)
+    fused = np.asarray(sc.render_samples(
+        eye, front, right, up, 7, cfg.replace(proc_backend="pallas")))
+    staged = np.asarray(sc.render_samples(
+        eye, front, right, up, 7, cfg.replace(proc_backend="xla")))
+    assert (fused == staged).all()
