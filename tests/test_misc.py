@@ -256,3 +256,26 @@ def test_tk_event_translation_drives_game(block_table):
     gw.handle_event(MouseWheel(1.0))
     gw.step()
     assert gw.camera.offset != off0, "scroll did not zoom"
+
+
+def test_raygen_layouts_equivalent():
+    """raygen(layout='hsw') holds exactly the 'shw' values, axes swapped."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vrv_tpu.ops.camera_rays import raygen
+
+    eye = jnp.asarray([1.0, 2.0, 3.0], jnp.float32)
+    front = jnp.asarray([0.0, -0.5, 0.866], jnp.float32)
+    right = jnp.asarray([-1.0, 0.0, 0.0], jnp.float32)
+    up = jnp.asarray([0.0, -0.866, -0.5], jnp.float32)
+    o1, d1, s1 = raygen(eye, front, right, up, 20, 12, 3, 5)
+    o2, d2, s2 = raygen(eye, front, right, up, 20, 12, 3, 5, layout="hsw")
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2).transpose(1, 0, 2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2).transpose(1, 0, 2, 3))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2).transpose(1, 0, 2, 3))
+    # sharded hsw slices match the full grid
+    _, d3, s3 = raygen(eye, front, right, up, 20, 12, 3, 5, layout="hsw",
+                       y0=4, local_height=4, s0=1, local_spp=2)
+    np.testing.assert_array_equal(np.asarray(s3), np.asarray(s2)[4:8, 1:3])
+    np.testing.assert_array_equal(np.asarray(d3), np.asarray(d2)[4:8, 1:3])

@@ -98,10 +98,15 @@ def cmd_frame(args):
                 bounces = int(m[1:])
         # sppfull: one render_samples call at full spp (one giant program)
         # onejit: chunked passes accumulated INSIDE one jit (one dispatch)
-        n_chunks = 1 if "sppfull" in mods else chunks
+        # cN: N-spp passes (chunks = spp/N)
+        per_pass = 1
+        for m in mods:
+            if m.startswith("c") and m[1:].isdigit():
+                per_pass = int(m[1:])
+        n_chunks = 1 if "sppfull" in mods else max(1, chunks // per_pass)
         cfg = RenderConfig(
             width=args.width, height=args.height,
-            samples_per_pixel=args.spp if "sppfull" in mods else 1,
+            samples_per_pixel=args.spp if "sppfull" in mods else per_pass,
             max_bounces=bounces,
             mode="wavefront" if "wave" in mods else args.mode,
             tracer=base,

@@ -37,8 +37,18 @@ def raygen(
     local_height: int = 0,
     s0=0,
     local_spp: int = 0,
+    layout: str = "shw",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (origin (spp,H,W,3), direction (spp,H,W,3), sample_seed (spp,H,W) u32).
+    """Returns (origin, direction, sample_seed u32) shaped (spp,H,W[,3])
+    for layout="shw" (default) or (H,spp,W[,3]) for layout="hsw".
+
+    The two layouts hold identical per-(sample, y, x) values — all math
+    is elementwise over broadcast grids, so only the axis order differs.
+    "hsw" exists for the fused path kernel: flattened to (H*spp, W) rows,
+    an (8, 128)-ray block then holds the SAME 128 pixels across up to 8
+    samples (which differ only by sub-pixel jitter), instead of 1024
+    distinct pixels — in-block march divergence drops to that of a
+    128-pixel run.
 
     width/height/spp are the GLOBAL extents (they fix uv scaling and RNG
     seeds); y0/s0 + local_height/local_spp select a shard of rows/samples
@@ -54,21 +64,28 @@ def raygen(
 
     pixel_seed = rng.murmur3_combine(px, py)                       # (H, W)
     pixel_seed = rng.murmur3_combine(pixel_seed, rng.u32(frame))
-    sample_ids = (
-        jnp.arange(local_spp, dtype=jnp.uint32)[:, None, None] + rng.u32(s0)
-    )
-    sample_seed = rng.murmur3_combine(pixel_seed[None], sample_ids)  # (spp, H, W)
-
-    uv_x = 2.0 * px.astype(jnp.float32) / width - 1.0
-    uv_y = 2.0 * py.astype(jnp.float32) / height - 1.0
+    uv_x2 = 2.0 * px.astype(jnp.float32) / width - 1.0             # (1, W)
+    uv_y2 = 2.0 * py.astype(jnp.float32) / height - 1.0            # (H, 1)
     aspect = jnp.float32(width) / jnp.float32(height)
+
+    sids = jnp.arange(local_spp, dtype=jnp.uint32) + rng.u32(s0)
+    if layout == "hsw":
+        sample_ids = sids[None, :, None]
+        sample_seed = rng.murmur3_combine(pixel_seed[:, None, :], sample_ids)
+        uv_x = uv_x2[None]                                         # (1, 1, W)
+        uv_y = uv_y2[:, None]                                      # (H, 1, 1)
+    else:
+        sample_ids = sids[:, None, None]
+        sample_seed = rng.murmur3_combine(pixel_seed[None], sample_ids)
+        uv_x = uv_x2[None]                                         # (1, 1, W)
+        uv_y = uv_y2[None]                                         # (1, H, 1)
 
     jx = jitter_scale * (1.0 / width) * (rng.draw(sample_seed, 0) - 0.5)
     jy = jitter_scale * (1.0 / height) * (rng.draw(sample_seed, 1) - 0.5)
 
     d = (
-        (uv_x[None] + jx)[..., None] * right * aspect
-        + (uv_y[None] + jy)[..., None] * up
+        (uv_x + jx)[..., None] * right * aspect
+        + (uv_y + jy)[..., None] * up
         + front
     )
     d = d / jnp.sqrt((d * d).sum(-1, keepdims=True))

@@ -62,12 +62,6 @@ def render_samples(
     W = cfg.width
     H = local_height or cfg.height
     S = local_spp or cfg.samples_per_pixel
-    o, d, sample_seed = raygen(
-        eye, front, right, up, cfg.width, cfg.height, cfg.samples_per_pixel,
-        frame, jitter_scale=cfg.jitter_scale,
-        y0=y0, local_height=local_height, s0=s0, local_spp=local_spp,
-    )
-    n = S * H * W
     # backend resolution for the proc tracer: the Mosaic kernel needs a
     # TPU and an edit-free world; 'auto' (the default) picks it exactly
     # there and the XLA while_loop tracer everywhere else
@@ -80,6 +74,27 @@ def render_samples(
             or (cfg.proc_backend == "auto" and jax.default_backend() == "tpu")
         )
     )
+    fused_eligible = (
+        use_pallas
+        and cfg.pallas_fused
+        and bvh is None
+        and inst is None
+        and cfg.debug_view == "none"
+        and cfg.rng == "murmur3"
+        and proc_static.lambert_only
+    )
+    # sample-major ray layout for the fused kernel: flattened (H*S, W)
+    # rows put the SAME 128 pixels across samples into one (8,128) block
+    # (samples differ only by sub-pixel jitter -> in-block divergence
+    # drops to a 128-pixel run's). Identical per-ray values either way.
+    ray_layout = "hsw" if (fused_eligible and cfg.pallas_tile2d) else "shw"
+    o, d, sample_seed = raygen(
+        eye, front, right, up, cfg.width, cfg.height, cfg.samples_per_pixel,
+        frame, jitter_scale=cfg.jitter_scale,
+        y0=y0, local_height=local_height, s0=s0, local_spp=local_spp,
+        layout=ray_layout,
+    )
+    n = S * H * W
     # beam pre-pass: camera rays share an origin, so one conservative cone
     # march per 8x8 pixel tile proves a per-ray air interval [0, adv] and
     # the real trace starts at eye + adv * d (ops/dda.beam_march).
@@ -123,15 +138,7 @@ def render_samples(
     # kernel marched.
     fused_traces = fused_dirs = None
     fused_pad = None   # (Rp, Wp) when shading runs on the padded layout
-    if (
-        use_pallas
-        and cfg.pallas_fused
-        and bvh is None
-        and inst is None
-        and cfg.debug_view == "none"
-        and cfg.rng == "murmur3"
-        and proc_static.lambert_only
-    ):
+    if fused_eligible:
         from vrv_tpu.ops.pallas.path_proc import trace_path_pallas
 
         hw = None
@@ -290,7 +297,9 @@ def render_samples(
 
     if fused_pad is not None:
         Rp, Wp = fused_pad
-        return color.reshape(Rp, Wp, 3)[: S * H, :W].reshape(S, H, W, 3)
+        color = color.reshape(Rp, Wp, 3)[: S * H, :W].reshape(-1, 3)
+    if ray_layout == "hsw":
+        return color.reshape(H, S, W, 3).transpose(1, 0, 2, 3)
     return color.reshape(S, H, W, 3)
 
 
