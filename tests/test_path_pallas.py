@@ -156,3 +156,45 @@ def test_fused_path_bit_identical_poses(block_table, interpret_pallas, pose, see
     staged = np.asarray(sc.render_samples(
         eye, front, right, up, 7, cfg.replace(proc_backend="xla")))
     assert (fused == staged).all()
+
+
+def test_fused_path_edge_ray_classes(block_table, interpret_pallas):
+    """Bounce-0 records for edge ray classes: origins outside the grid
+    (boundary-entry hits), degenerate directions, axis-aligned rays."""
+    import jax
+
+    from vrv_tpu.ops.dda_proc import trace_proc
+    from vrv_tpu.ops.pallas.path_proc import trace_path_pallas
+
+    g = 32
+    wc = WorldConfig(size=(g, g, g), origin=(-g // 2, -g // 2, -g // 2), seed=0)
+    sc = Scene(wc, table=block_table)
+    assert sc.proc_static.n_edits == 0
+
+    rng_ = np.random.default_rng(11)
+    n = 2000
+    o = rng_.uniform(-12.0, g + 12.0, (n, 3)).astype(np.float32)
+    d = rng_.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d[0] = 0                 # degenerate
+    d[1] = [0, 1, 0]         # axis-aligned into terrain
+    d[2] = [0, 0, -1]
+    o[3] = [-5.0, 10.0, 10.0]
+    d[3] = [1, 0, 0]         # enters through the -x boundary
+    seeds = rng_.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+
+    traces, dirs = trace_path_pallas(
+        sc.proc_static, jnp.asarray(o), jnp.asarray(d), jnp.asarray(seeds),
+        3, pd=sc.proc_arrays, interpret=True, unroll=1,
+    )
+    ref0 = trace_proc(sc.proc_static, jnp.asarray(o), jnp.asarray(d),
+                      pd=sc.proc_arrays)
+    for f in ("hit", "t", "block", "face", "entering"):
+        a, b = np.asarray(getattr(ref0, f)), np.asarray(getattr(traces[0], f))
+        assert (a == b).all(), f"{f}: {(a != b).sum()} mismatches"
+    # sampled dirs are unit for advanced rays, zero for dead paths
+    d1 = np.asarray(dirs[0])
+    adv = np.asarray(traces[0].hit)
+    ln = np.linalg.norm(d1, axis=-1)
+    assert np.allclose(ln[adv], 1.0, atol=1e-5)
+    assert (ln[~adv] == 0).all()
