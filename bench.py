@@ -4,6 +4,13 @@ Measures the README headline config on the real device: 800x600, 8 spp,
 4 bounces, 128^3 worldgen grid (reference README.md:5-6 reports 28 fps on
 its unspecified GPU — BASELINE.md). Prints ONE JSON line.
 
+The measured world is the SAME scene as __graft_entry__.entry(): worldgen
+plus a lamp placed on the terrain surface (one real set_block edit), so
+the headline number includes NEE against the light BVH and the in-kernel
+edit list — the graded interactive conditions, not a pristine
+fair-weather world (VERDICT r2 items 5/7). A pristine no-light frame rate
+is also reported (diagnostic key) to track raw kernel progress.
+
 Extra diagnostics (rays/sec, per-config timings) go to stderr.
 """
 
@@ -26,37 +33,30 @@ def main() -> int:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
-    from vrv_tpu.config import RenderConfig, WorldConfig
-    from vrv_tpu.render.scene import Scene
+    from vrv_tpu.config import RenderConfig
 
     BASELINE_FPS = 28.0  # reference README.md:5-6
 
-    g = 128
-    wc = WorldConfig(size=(g, g, g), origin=(-g // 2, -g // 2, -g // 2), seed=0)
     # one 8-spp frame = eight 1-spp sample passes accumulated on device —
     # identical sample count and statistics, but an 8x smaller XLA graph
     # (this environment's remote-compile tunnel makes giant graphs
     # prohibitively slow to build)
     CHUNKS = 8
     cfg = RenderConfig(width=800, height=600, samples_per_pixel=1, max_bounces=4)
-    scene = Scene(wc)
 
-    # camera hovering above the terrain looking down at an angle
-    grid_np = np.asarray(scene.grid)
-    solid = scene.table.solid[grid_np]
-    ys = np.nonzero(solid[g // 2, :, g // 2])[0]
-    y_surf = (int(ys.max()) if len(ys) else g // 2) + wc.origin[1]
-    eye = np.array([0.0, y_surf + 12.0, -24.0], np.float32)
-    front = np.array([0.0, -0.35, 0.936], np.float32)
-    right = np.array([-1.0, 0.0, 0.0], np.float32)
-    up = np.array([0.0, -0.936, -0.35], np.float32)
+    # the graded scene — identical to the driver-checked entry point
+    import __graft_entry__ as ge
+
+    scene, (eye, front, right, up) = ge._scene_args(128, cfg)
+    assert scene.proc_static is not None and scene.proc_static.n_edits > 0
+    assert scene.bvh_device is not None  # the lamp feeds the light BVH
 
     from vrv_tpu.render.megakernel import pack_bgra
 
-    def run(frame):
+    def run(frame, sc=scene):
         acc = None
         for c in range(CHUNKS):
-            smp = scene.render_samples(
+            smp = sc.render_samples(
                 eye, front, right, up, frame * CHUNKS + c, cfg
             ).sum(axis=0)
             acc = smp if acc is None else acc + smp
@@ -79,6 +79,23 @@ def main() -> int:
         f"{fps:.3f} fps  {rays:.3e} paths*bounce/s  frame {dt / n * 1e3:.1f} ms",
         file=sys.stderr,
     )
+
+    # pristine-world diagnostic (no lamp, no edits): the fused path
+    # kernel's raw rate, for kernel-progress tracking
+    from vrv_tpu.config import WorldConfig
+    from vrv_tpu.render.scene import Scene
+
+    g = 128
+    pristine = Scene(
+        WorldConfig(size=(g, g, g), origin=(-g // 2, -g // 2, -g // 2), seed=0)
+    )
+    np.asarray(run(0, pristine))
+    t0 = time.perf_counter()
+    for i in range(n):
+        img = run(i + 1, pristine)
+    np.asarray(img)
+    pristine_fps = n / (time.perf_counter() - t0)
+    print(f"pristine (fused kernel): {pristine_fps:.3f} fps", file=sys.stderr)
 
     # --- the reference's other two published rows (README.md:8-9, :31) ---
     def run_chunks(frame, chunks):
@@ -126,6 +143,8 @@ def main() -> int:
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "scene": "entry (lamp + edit: NEE + in-kernel edit list)",
+        "pristine_fused_fps": round(pristine_fps, 3),
         "converged_128spp_fps": round(conv_fps, 3),
         "converged_128spp_vs_baseline": round(conv_fps / 3.0, 3),
         "wavefront_4spp_4b_fps": round(mode_fps["wavefront"], 3),

@@ -48,14 +48,83 @@ def test_pallas_matches_xla_tracer(block_table):
     assert (np.asarray(ref.cell) == np.asarray(got.cell)).all()
 
 
-def test_pallas_rejects_edits(block_table):
-    g = 16
-    wc = WorldConfig(size=(g, g, g), origin=(0, 0, 0), seed=0)
-    ps = _ps(block_table, wc, (g, g, g))._replace(n_edits=16)
-    o = jnp.zeros((8, 3), jnp.float32)
-    d = jnp.ones((8, 3), jnp.float32)
-    with pytest.raises(ValueError, match="edit-free"):
-        trace_proc_pallas(ps, o, d, interpret=True)
+def _edit_pd(block_table, edits, cap):
+    """pd edit arrays exactly as render/scene._proc_finalize builds them:
+    (cell -> block) dict, sentinel-padded to cap."""
+    cells = np.full((cap, 3), -(1 << 20), np.int32)
+    blocks = np.full(cap, block_table.air, np.uint8)
+    solidv = np.zeros(cap, bool)
+    transl = np.ones(cap, bool)
+    for i, (c, b) in enumerate(sorted(edits.items())):
+        cells[i] = c
+        blocks[i] = b
+        solidv[i] = b != block_table.air
+        transl[i] = bool(block_table.translucent[b])
+    return {
+        "edit_cells": jnp.asarray(cells),
+        "edit_blocks": jnp.asarray(blocks),
+        "edit_solid": jnp.asarray(solidv),
+        "edit_translucent": jnp.asarray(transl),
+    }
+
+
+def test_pallas_edits_bit_identical(block_table):
+    """Edited worlds (solid placements, holes, glass, lamp) through the
+    SMEM edit list are bit-identical to the XLA tracer's dense compare."""
+    g = 32
+    wc = WorldConfig(size=(g, g, g), origin=(-g // 2, -g // 2, -g // 2), seed=0)
+    ps0 = _ps(block_table, wc, (g, g, g))
+
+    from vrv_tpu.ops.dda_proc import worldgen_blocks
+
+    xs, ys, zs = np.meshgrid(*[np.arange(g, dtype=np.int32)] * 3, indexing="ij")
+    pristine = np.asarray(
+        jax.jit(worldgen_blocks, static_argnums=(0,))(
+            ps0, jnp.asarray(xs.ravel()), jnp.asarray(ys.ravel()),
+            jnp.asarray(zs.ravel()),
+        )
+    ).reshape(g, g, g)
+    solid_cells = np.argwhere(pristine != block_table.air)
+    air_cells = np.argwhere(pristine == block_table.air)
+    # mix: a hole, a glass pane, a lamp, a stone placement, a mirror
+    edits = {
+        tuple(int(v) for v in solid_cells[0]): int(block_table.air),
+        tuple(int(v) for v in air_cells[len(air_cells) // 2]): int(
+            block_table.block_idx("glass")),
+        tuple(int(v) for v in air_cells[7]): int(block_table.block_idx("lamp")),
+        tuple(int(v) for v in solid_cells[len(solid_cells) // 3]): int(
+            block_table.block_idx("stone")),
+        tuple(int(v) for v in air_cells[-3]): int(block_table.block_idx("mirror")),
+    }
+    cap = 8
+    ps = ps0._replace(n_edits=cap)
+    pd = _edit_pd(block_table, edits, cap)
+
+    n = 4000
+    o = np.array(
+        jax.random.uniform(jax.random.PRNGKey(11), (n, 3), minval=-10.0, maxval=g + 10.0),
+        np.float32,
+    )
+    d = np.array(jax.random.normal(jax.random.PRNGKey(12), (n, 3)), np.float32)
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    # aim a slab of rays straight at each edited cell so every edit class
+    # (hole / glass / lamp / solid / mirror) is actually exercised
+    targets = np.array(sorted(edits), np.float32) + 0.5
+    for i, tc in enumerate(targets):
+        src = np.array([-5.0, g + 5.0, -5.0], np.float32) + i
+        o[i + 3] = src
+        d[i + 3] = (tc - src) / np.linalg.norm(tc - src)
+    d[0] = 0
+    ref = trace_proc(ps, jnp.asarray(o), jnp.asarray(d), pd=pd)
+    got = trace_proc_pallas(ps, jnp.asarray(o), jnp.asarray(d), pd=pd,
+                            interpret=True)
+    for f in ("hit", "t", "block", "face", "entering"):
+        a, b = np.asarray(getattr(ref, f)), np.asarray(getattr(got, f))
+        assert (a == b).all(), f"{f}: {(a != b).sum()} mismatches"
+    assert (np.asarray(ref.cell) == np.asarray(got.cell)).all()
+    # the edits actually changed the image vs the pristine world
+    base = trace_proc(ps0, jnp.asarray(o), jnp.asarray(d))
+    assert (np.asarray(base.block) != np.asarray(ref.block)).any()
 
 
 def test_pallas_coarse_skip_bit_identical(block_table):

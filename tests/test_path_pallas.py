@@ -158,6 +158,108 @@ def test_fused_path_bit_identical_poses(block_table, interpret_pallas, pose, see
     assert (fused == staged).all()
 
 
+def test_fused_path_with_edits_bit_identical(block_table, interpret_pallas):
+    """Lambert-safe world edits (a placed stone, a broken block) keep the
+    fused kernel eligible and bit-identical to the staged render — the
+    edit-survival property of VERDICT r2 item 1 (the reference keeps full
+    render speed across edits, chunk_manager.rs:331-392)."""
+    g = 32
+    wc = WorldConfig(size=(g, g, g), origin=(-g // 2, -g // 2, -g // 2), seed=0)
+    sc = Scene(wc, table=block_table)
+    assert sc.proc_static.n_edits == 0
+
+    # real gameplay edits through the Scene API
+    grid_np = np.asarray(sc.grid)
+    solid = block_table.solid[grid_np]
+    col = solid[g // 2, :, g // 2]
+    ys = np.nonzero(col)[0]
+    y_top = int(ys.max())
+    org = np.asarray(wc.origin)
+    assert sc.set_block(np.array([g // 2, y_top + 1, g // 2]) + org,
+                        int(block_table.block_idx("stone")))  # place
+    assert sc.set_block(np.array([g // 2, y_top, g // 2]) + org,
+                        int(block_table.air))                 # break
+    assert sc.proc_static.n_edits > 0
+    assert sc.proc_static.edits_lambert
+    assert sc.bvh_device is None
+
+    eye, front, right, up = _cam()
+    cfg = RenderConfig(width=24, height=16, samples_per_pixel=2, max_bounces=3,
+                       tracer="proc", pallas_unroll=1)
+
+    import vrv_tpu.ops.pallas.path_proc as pp
+
+    calls = []
+    real = pp.trace_path_pallas
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    pp.trace_path_pallas = spy
+    try:
+        fused = np.asarray(sc.render_samples(
+            eye, front, right, up, 0, cfg.replace(proc_backend="pallas")))
+    finally:
+        pp.trace_path_pallas = real
+    assert calls, "fused path kernel was not dispatched on the edited world"
+
+    staged = np.asarray(sc.render_samples(
+        eye, front, right, up, 0, cfg.replace(proc_backend="xla")))
+    assert (fused == staged).all()
+
+    # the edits actually took effect (a ray aimed straight down the edited
+    # column resolves the placed stone one cell higher than pristine)
+    from vrv_tpu.ops.dda_proc import trace_proc
+
+    o_probe = jnp.asarray([[g / 2 + 0.5, g - 0.5, g / 2 + 0.5]], jnp.float32)
+    d_probe = jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32)
+    tr_edit = trace_proc(sc.proc_static, o_probe, d_probe, pd=sc.proc_arrays)
+    sc2 = Scene(wc, table=block_table)
+    tr_base = trace_proc(sc2.proc_static, o_probe, d_probe, pd=sc2.proc_arrays)
+    assert int(tr_edit.cell[0, 1]) == y_top + 1
+    assert int(tr_base.cell[0, 1]) != y_top + 1
+
+
+def test_glass_edit_evicts_fused_but_not_pallas(block_table, interpret_pallas):
+    """A glass (transmissive) edit must evict the FUSED kernel (its
+    in-kernel scatter is statically cosine) but the staged pallas tracer
+    still runs, with the translucency carry handling the pane."""
+    g = 32
+    wc = WorldConfig(size=(g, g, g), origin=(-g // 2, -g // 2, -g // 2), seed=0)
+    sc = Scene(wc, table=block_table)
+    grid_np = np.asarray(sc.grid)
+    solid = block_table.solid[grid_np]
+    ys = np.nonzero(solid[g // 2, :, g // 2])[0]
+    org = np.asarray(wc.origin)
+    assert sc.set_block(np.array([0, int(ys.max()) + 2, 0]) + org,
+                        int(block_table.block_idx("glass")))
+    assert not sc.proc_static.edits_lambert
+
+    eye, front, right, up = _cam()
+    cfg = RenderConfig(width=16, height=8, samples_per_pixel=1, max_bounces=3,
+                       tracer="proc", pallas_unroll=1)
+
+    import vrv_tpu.ops.pallas.path_proc as pp
+    import vrv_tpu.ops.pallas.trace_proc as tpm
+
+    fused_calls, staged_calls = [], []
+    real_f, real_s = pp.trace_path_pallas, tpm.trace_proc_pallas
+    pp.trace_path_pallas = lambda *a, **k: (fused_calls.append(1), real_f(*a, **k))[1]
+    tpm.trace_proc_pallas = lambda *a, **k: (staged_calls.append(1), real_s(*a, **k))[1]
+    try:
+        got = np.asarray(sc.render_samples(
+            eye, front, right, up, 0, cfg.replace(proc_backend="pallas")))
+    finally:
+        pp.trace_path_pallas = real_f
+        tpm.trace_proc_pallas = real_s
+    assert not fused_calls and staged_calls
+
+    ref = np.asarray(sc.render_samples(
+        eye, front, right, up, 0, cfg.replace(proc_backend="xla")))
+    assert (got == ref).all()
+
+
 def test_fused_path_edge_ray_classes(block_table, interpret_pallas):
     """Bounce-0 records for edge ray classes: origins outside the grid
     (boundary-entry hits), degenerate directions, axis-aligned rays."""

@@ -77,6 +77,15 @@ class ProcStatic(NamedTuple):
     # grass/stone) — the precondition for the fused path kernel
     # (ops/pallas/path_proc.py), whose in-kernel scatter needs no texels.
     lambert_only: bool = False
+    # True when every edit block is air or opaque-lambert (so translucent
+    # == ~solid still holds and the fused kernel's in-kernel cosine
+    # scatter stays correct). Glass/mirror edits set this False and the
+    # renderer falls back to the staged per-bounce kernels.
+    edits_lambert: bool = True
+    # Static tuple of opaque-lambert block ids placeable by edits —
+    # extends the fused path's one-hot texel set beyond grass/stone
+    # (render/megakernel.py tex_set).
+    lambert_blocks: tuple = ()
 
 
 class ProcWorld(NamedTuple):

@@ -48,8 +48,11 @@ from vrv_tpu.ops.pallas.trace_proc import (
     LANES,
     UNROLL,
     _BIG,
+    _apply_edits,
     _const_word_tree,
+    _edit_overrides,
     _simplex3_seeded,
+    edit_smem_args,
 )
 
 _2PI = float(2.0 * np.pi)
@@ -105,7 +108,7 @@ def _combine(h, k):
 
 
 def _path_kernel(
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, seed_ref, *out_refs,
+    *refs,
     ps, t_min, t_max, n_bounces, unroll, coarse, retire_cond=True,
 ):
     f32 = jnp.float32
@@ -119,10 +122,22 @@ def _path_kernel(
     fc = _face_consts()
     B = n_bounces
     tiny = f32(1e-12)
+    E = ps.n_edits
+
+    if E:
+        (ek_ref, ef_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         seed_ref), out_refs = refs[:9], refs[9:]
+        edits = _edit_overrides(ek_ref, ef_ref, E)
+    else:
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         seed_ref), out_refs = refs[:7], refs[7:]
 
     seed0 = seed_ref[:]
 
     def solid_at(cx, cy, cz, inside):
+        # eligibility (edits_lambert, checked by trace_path_pallas)
+        # guarantees every edit block is air or opaque-lambert, so
+        # translucent == ~solid holds and the solid override suffices
         wx = cx.astype(f32) + gox
         wy = cy.astype(f32) + goy
         wz = cz.astype(f32) + goz
@@ -130,7 +145,10 @@ def _path_kernel(
             _simplex3_seeded(wx * inv_scale, wy * inv_scale, wz * inv_scale, seed_mix)
             - wy * inv_falloff
         )
-        return (dens > thr) & inside
+        s = dens > thr
+        if E:
+            s, _, _ = _apply_edits(cx, cy, cz, s, edits)
+        return s & inside
 
     def occ_read(level, bx, by, bz):
         (Bx, By, Bz), words = level
@@ -550,7 +568,7 @@ def _path_kernel(
     static_argnames=("ps", "t_min", "t_max", "n_bounces", "interpret",
                      "unroll", "coarse", "hw", "retire_cond"),
 )
-def _path_pallas_flat(ps, o, d, seeds, t_min, t_max, n_bounces,
+def _path_pallas_flat(ps, o, d, seeds, edit_args, t_min, t_max, n_bounces,
                       interpret=False, unroll=1, coarse=None, hw=None,
                       retire_cond=True):
     br = BLOCK_ROWS
@@ -600,17 +618,20 @@ def _path_pallas_flat(ps, o, d, seeds, t_min, t_max, n_bounces,
         for _ in range(3):
             out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.float32))
 
+    from jax.experimental.pallas import tpu as pltpu
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         functools.partial(
             _path_kernel, ps=ps, t_min=t_min, t_max=t_max, n_bounces=B,
             unroll=unroll, coarse=coarse, retire_cond=retire_cond,
         ),
         grid=grid,
-        in_specs=[spec] * 7,
+        in_specs=[smem] * len(edit_args) + [spec] * 7,
         out_specs=[spec] * n_out,
         out_shape=out_shapes,
         interpret=interpret,
-    )(ox, oy, oz, dx, dy, dz, sd)
+    )(*edit_args, ox, oy, oz, dx, dy, dz, sd)
     return [post(x) for x in outs]
 
 
@@ -619,8 +640,9 @@ def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
                       unroll=None, hw=None, retire_cond=True):
     """Trace a FULL path (n_bounces bounces) per ray in one kernel.
 
-    Preconditions (caller-checked): edit-free worldgen scene, no lights,
-    no instances, murmur3 RNG, lambert-only reachable materials.
+    Preconditions (caller-checked): worldgen scene whose edits are all
+    air-or-opaque-lambert (ps.edits_lambert), no lights, no instances,
+    murmur3 RNG, lambert-only reachable materials.
 
     Returns (traces, dirs): traces[b] is a dda.TraceResult for bounce b;
     dirs[b] (b in 1..n_bounces-1) is the in-kernel-sampled direction the
@@ -630,8 +652,11 @@ def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
     from vrv_tpu.ops.dda import TraceResult
     from vrv_tpu.ops.dda_proc import _hit_blocks, assemble
 
-    if ps.n_edits:
-        raise ValueError("path kernel supports edit-free worlds only")
+    if ps.n_edits and not ps.edits_lambert:
+        raise ValueError(
+            "path kernel requires air-or-opaque-lambert edits (the "
+            "in-kernel scatter is statically cosine-hemisphere); the "
+            "caller must fall back to the staged kernels")
     shape = origin.shape[:-1]
     o = origin.reshape(-1, 3).astype(jnp.float32)
     d = direction.reshape(-1, 3).astype(jnp.float32)
@@ -640,7 +665,7 @@ def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
     import vrv_tpu.ops.pallas.trace_proc as _tp
 
     outs = _path_pallas_flat(
-        ps, o, d, sd, float(t_min), float(t_max), B,
+        ps, o, d, sd, edit_smem_args(ps, pd), float(t_min), float(t_max), B,
         interpret=interpret or _tp.INTERPRET,
         unroll=UNROLL if unroll is None else unroll,
         coarse=(ps.coarse_const or None) if ps.use_coarse else None,

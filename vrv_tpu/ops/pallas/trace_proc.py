@@ -12,12 +12,16 @@ the arithmetic-hash simplex evaluation (ops/noise.py), exactly the
 computation ops/dda_proc._make_occupancy performs, so results are
 bit-identical to trace_proc (asserted in tests/test_pallas_proc.py).
 
-Scope: the fine marching loop for worldgen occupancy. Edits and the
-coarse skip table are handled by the caller: scenes with edits fall back
-to the XLA trace_proc (Scene handles this; edited cells are rare and the
-XLA path is exact), and the coarse table's one-hot matmul read is an XLA
-formulation — in-kernel the blobby bench world profits little from it
-(90% of 8^3 blocks contain solids, docs/PERF.md).
+Scope: the fine marching loop for worldgen occupancy PLUS the padded
+edit list (game set_block deltas, <= Scene.PROC_EDIT_CAP cells). Edits
+ride in SMEM as two scalars each (packed cell key + solid/translucent
+flags), hoisted out of the loop; the per-step cost is one dense vector
+compare per edit — the same dense-compare semantics as
+ops/dda_proc._make_occupancy, so edited worlds stay bit-identical to
+the XLA tracer. The in-kernel constant skip certificates (coarse_const)
+are baked only for pristine worlds (render/scene._proc_finalize); with
+edits the kernel marches without them — measured neutral on the bench
+scene (docs/PERF.md round-2 table).
 
 Replaces the retired ops/pallas/trace.py grid-gather kernel, whose
 measured 9.7 ns/element in-kernel gather rate matched XLA's scalar-loop
@@ -213,9 +217,47 @@ def coarse_consts(coarse: np.ndarray, grid: np.ndarray = None, air_id: int = 0):
     )
 
 
+def _edit_overrides(ek_ref, ef_ref, n_edits):
+    """Hoist the padded edit list out of the march loop.
+
+    Each edit travels as two SMEM scalars: a packed cell key
+    (x<<20 | y<<10 | z; padding rows use 0x3FFFFFFF, unreachable for
+    grids <= 512 per axis) and a flag word (solid | translucent<<1).
+    Scalar reads happen ONCE per kernel (loop-invariant); the per-step
+    cost is the dense vector compare against each key — the same
+    dense-compare semantics as ops/dda_proc._make_occupancy, so results
+    stay bit-identical to the XLA tracer (tests/test_pallas_proc.py).
+    """
+    ekeys = [ek_ref[e] for e in range(n_edits)]
+    esol = [ef_ref[e] & 1 for e in range(n_edits)]
+    etl = [(ef_ref[e] >> 1) & 1 for e in range(n_edits)]
+    return ekeys, esol, etl
+
+
+def _apply_edits(cx, cy, cz, wg_solid, edits):
+    """(solid, translucent) for candidate cells, worldgen + edit overrides.
+
+    wg_solid excludes the `inside` mask (applied by the caller after the
+    solid override, matching dda_proc._make_occupancy's order)."""
+    i32 = jnp.int32
+    ekeys, esol, etl = edits
+    key = (cx << 20) | (cy << 10) | cz
+    edited = jnp.zeros_like(cx)
+    sol_i = jnp.zeros_like(cx)
+    tl_i = jnp.zeros_like(cx)
+    for e in range(len(ekeys)):
+        mi = (key == ekeys[e]).astype(i32)
+        edited = edited | mi
+        sol_i = sol_i | (mi * esol[e])
+        tl_i = tl_i | (mi * etl[e])
+    edited_b = edited != 0
+    # bitwise selects: Mosaic rejects select_n on i1 vectors
+    solid = (edited_b & (sol_i != 0)) | (~edited_b & wg_solid)
+    return solid, edited_b, tl_i
+
+
 def _trace_kernel(
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_ref, packed_ref,
-    *, ps, t_min, t_max, unroll=1, coarse=None, max_steps_cap=0,
+    *refs, ps, t_min, t_max, unroll=1, coarse=None, max_steps_cap=0,
 ):
     f32 = jnp.float32
     i32 = jnp.int32
@@ -225,6 +267,15 @@ def _trace_kernel(
     inv_scale = f32(1.0 / ps.noise_scale)
     inv_falloff = f32(1.0 / ps.y_falloff)
     seed_mix = _seed_mix(ps.seed)
+    E = ps.n_edits
+
+    if E:
+        (ek_ref, ef_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         t_ref, packed_ref) = refs
+        edits = _edit_overrides(ek_ref, ef_ref, E)
+    else:
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         t_ref, packed_ref) = refs
 
     ox = ox_ref[:]
     oy = oy_ref[:]
@@ -241,7 +292,10 @@ def _trace_kernel(
     iy = 1.0 / jnp.where(bigy, tiny, dy)
     iz = 1.0 / jnp.where(bigz, tiny, dz)
 
-    def solid_at(cx, cy, cz, inside):
+    def solid_tl_at(cx, cy, cz, inside):
+        """(solid, translucent) at candidate cells — dda_proc._make_occupancy
+        + _make_translucency semantics (translucent == ~solid absent edits;
+        glass-style edits may be solid AND translucent)."""
         wx = cx.astype(f32) + gox
         wy = cy.astype(f32) + goy
         wz = cz.astype(f32) + goz
@@ -249,7 +303,14 @@ def _trace_kernel(
             _simplex3_seeded(wx * inv_scale, wy * inv_scale, wz * inv_scale, seed_mix)
             - wy * inv_falloff
         )
-        return (dens > thr) & inside
+        s = dens > thr
+        if E:
+            s, edited_b, tl_i = _apply_edits(cx, cy, cz, s, edits)
+        s = s & inside
+        t = ~s
+        if E:
+            t = (edited_b & (tl_i != 0)) | (~edited_b & t)
+        return s, t
 
     # ---- init: slab clip + boundary-entry hit (dda_proc._init formulas) ----
     def slab(o1, inv, big, size):
@@ -279,7 +340,7 @@ def _trace_kernel(
     cx = jnp.clip(jnp.floor(ox + t0 * dx).astype(i32), 0, X - 1)
     cy = jnp.clip(jnp.floor(oy + t0 * dy).astype(i32), 0, Y - 1)
     cz = jnp.clip(jnp.floor(oz + t0 * dz).astype(i32), 0, Z - 1)
-    cur_solid = solid_at(cx, cy, cz, valid)
+    cur_solid, cur_tl = solid_tl_at(cx, cy, cz, valid)
 
     starts_outside = t_enter > f32(t_min)
     entry_face = enter_axis * 2 + jnp.where(d_enter > 0, 0, 1)
@@ -290,7 +351,8 @@ def _trace_kernel(
     zero = jnp.zeros_like(cx)
     # Mosaic cannot carry vector<i1> through scf.while (scf.yield fails to
     # legalize) — every boolean loop-carry travels as an i32 0/1 mask and
-    # is re-derived with != 0 inside the body
+    # is re-derived with != 0 inside the body. cur_tl is carried only on
+    # edited worlds (index 13); absent edits translucent == ~solid.
     state = (
         (valid & ~hit0).astype(i32),                     # alive
         cx, cy, cz,                                      # cell
@@ -303,7 +365,7 @@ def _trace_kernel(
         jnp.where(hit0, cz, zero),                       # hz
         hit0.astype(i32),                                # entering
         jnp.int32(0),                                    # steps
-    )
+    ) + ((cur_tl.astype(i32),) if E else ())
     max_steps = int(X + Y + Z + 3)
     if max_steps_cap:
         max_steps = min(max_steps, int(max_steps_cap))  # probe-only
@@ -319,9 +381,10 @@ def _trace_kernel(
 
     def body(s):
         (alive_i, scx, scy, scz, cur_solid_i, hit_i, t, face, hx, hy, hz,
-         entering_i, steps) = s
+         entering_i, steps) = s[:13]
         alive = alive_i != 0
         cur_solid = cur_solid_i != 0
+        cur_tl = (s[13] != 0) if E else ~cur_solid
         hit = hit_i != 0
         entering = entering_i != 0
         fx, fy, fz = scx.astype(f32), scy.astype(f32), scz.astype(f32)
@@ -435,10 +498,10 @@ def _trace_kernel(
         ny = jnp.where(can_skip, ky, ey_)
         nz = jnp.where(can_skip, kz, ez_)
         inside = (can_skip & skip_inside) | (~can_skip & inside_exact)
-        new_solid = solid_at(nx, ny, nz, inside)
+        new_solid, new_tl = solid_tl_at(nx, ny, nz, inside)
 
-        entering_hit = new_solid & ~cur_solid & ~can_skip
-        exiting_hit = cur_solid & ~new_solid & ~can_skip
+        entering_hit = new_solid & cur_tl & ~can_skip
+        exiting_hit = cur_solid & new_tl & ~can_skip
         in_range = (t_next >= f32(t_min)) & (t_next <= f32(t_max))
         any_hit = alive & in_range & (entering_hit | exiting_hit)
         nface = jnp.where(
@@ -464,7 +527,7 @@ def _trace_kernel(
             # (legalizes through i8, then fails the i8->i1 trunci)
             ((rec & entering_hit) | (~rec & entering)).astype(i32),
             steps + 1,
-        )
+        ) + ((new_tl.astype(i32),) if E else ())
 
     if unroll > 1:
         # compose the body: k cell-steps per loop iteration. Bit-identical
@@ -478,7 +541,7 @@ def _trace_kernel(
             return s
 
     s = jax.lax.while_loop(cond, body, state)
-    (_, _, _, _, _, hit_i, t, face, hx, hy, hz, entering_i, _) = s
+    (_, _, _, _, _, hit_i, t, face, hx, hy, hz, entering_i, _) = s[:13]
     t_ref[:] = t
     packed_ref[:] = (
         hit_i
@@ -490,14 +553,32 @@ def _trace_kernel(
     )
 
 
+def edit_smem_args(ps, pd):
+    """(edit_key, edit_flags) SMEM arrays for a kernel call, or () when
+    the world is edit-free. Key packing must match _apply_edits."""
+    if not ps.n_edits:
+        return ()
+    if not pd or pd.get("edit_cells") is None:
+        raise ValueError("ProcStatic.n_edits > 0 requires pd edit arrays")
+    ec = pd["edit_cells"].astype(jnp.int32)            # (E, 3); pad rows < 0
+    valid = ec[:, 0] >= 0
+    key = (ec[:, 0] << 20) | (ec[:, 1] << 10) | ec[:, 2]
+    ekey = jnp.where(valid, key, jnp.int32(0x3FFFFFFF))
+    eflg = (
+        pd["edit_solid"].astype(jnp.int32)
+        | (pd["edit_translucent"].astype(jnp.int32) << 1)
+    )
+    return (ekey, eflg)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("ps", "t_min", "t_max", "interpret", "unroll", "coarse",
                      "max_steps_cap", "block_rows", "hw"),
 )
-def _trace_proc_pallas_flat(ps, o, d, t_min, t_max, interpret=False, unroll=1,
-                            coarse=None, max_steps_cap=0, block_rows=None,
-                            hw=None):
+def _trace_proc_pallas_flat(ps, o, d, edit_args, t_min, t_max, interpret=False,
+                            unroll=1, coarse=None, max_steps_cap=0,
+                            block_rows=None, hw=None):
     br = block_rows or BLOCK_ROWS
     n = o.shape[0]
     if hw is not None:
@@ -542,27 +623,30 @@ def _trace_proc_pallas_flat(ps, o, d, t_min, t_max, interpret=False, unroll=1,
     ox, oy, oz = prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2])
     dx, dy, dz = prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2])
 
+    # the padded edit list rides in SMEM: two (E,) i32 arrays, read once
+    # per kernel as loop-invariant scalars (see _edit_overrides)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     t, packed = pl.pallas_call(
         functools.partial(
             _trace_kernel, ps=ps, t_min=t_min, t_max=t_max, unroll=unroll,
             coarse=coarse, max_steps_cap=max_steps_cap,
         ),
         grid=grid,
-        in_specs=[spec] * 6,
+        in_specs=[smem] * len(edit_args) + [spec] * 6,
         out_specs=[spec, spec],
         out_shape=[
             jax.ShapeDtypeStruct(out_shape, jnp.float32),
             jax.ShapeDtypeStruct(out_shape, jnp.int32),
         ],
         interpret=interpret,
-    )(ox, oy, oz, dx, dy, dz)
+    )(*edit_args, ox, oy, oz, dx, dy, dz)
     return post(t), post(packed)
 
 
 def trace_proc_pallas(ps, origin, direction, t_min=0.001, t_max=1000.0,
                       pd=None, interpret=False, unroll=None, max_steps_cap=0,
                       block_rows=None, hw=None):
-    """Same contract as dda_proc.trace_proc (edit-free worlds only).
+    """Same contract as dda_proc.trace_proc (incl. the padded edit list).
 
     hw=(R, W): optional pixel-grid shape of the flattened ray batch
     (R = rows = spp*height, W = image width); enables 2D image-tile
@@ -572,9 +656,6 @@ def trace_proc_pallas(ps, origin, direction, t_min=0.001, t_max=1000.0,
     from vrv_tpu.ops.dda import TraceResult
     from vrv_tpu.ops.dda_proc import _hit_blocks, assemble
 
-    if ps.n_edits:
-        raise ValueError("pallas proc tracer supports edit-free worlds; "
-                         "Scene falls back to the XLA tracer when edits exist")
     shape = origin.shape[:-1]
     o = origin.reshape(-1, 3).astype(jnp.float32)
     d = direction.reshape(-1, 3).astype(jnp.float32)
@@ -582,7 +663,8 @@ def trace_proc_pallas(ps, origin, direction, t_min=0.001, t_max=1000.0,
         raise ValueError(f"hw {hw} does not tile {o.shape[0]} rays")
     import vrv_tpu.ops.pallas.trace_proc as _self
 
-    t, packed = _trace_proc_pallas_flat(ps, o, d, float(t_min), float(t_max),
+    t, packed = _trace_proc_pallas_flat(ps, o, d, edit_smem_args(ps, pd),
+                                        float(t_min), float(t_max),
                                         interpret=interpret or _self.INTERPRET,
                                         unroll=UNROLL if unroll is None else unroll,
                                         coarse=(ps.coarse_const or None)

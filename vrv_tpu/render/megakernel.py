@@ -63,12 +63,14 @@ def render_samples(
     H = local_height or cfg.height
     S = local_spp or cfg.samples_per_pixel
     # backend resolution for the proc tracer: the Mosaic kernel needs a
-    # TPU and an edit-free world; 'auto' (the default) picks it exactly
-    # there and the XLA while_loop tracer everywhere else
+    # TPU; 'auto' (the default) picks it exactly there and the XLA
+    # while_loop tracer everywhere else. World edits ride into the kernel
+    # as an SMEM edit list (ops/pallas/trace_proc.py) — a placed or
+    # broken block no longer evicts the fast tracer (the reference keeps
+    # full render speed across edits too: chunk_manager.rs:331-392).
     use_pallas = (
         cfg.tracer == "proc"
         and proc_static is not None
-        and proc_static.n_edits == 0
         and (
             cfg.proc_backend == "pallas"
             or (cfg.proc_backend == "auto" and jax.default_backend() == "tpu")
@@ -77,11 +79,12 @@ def render_samples(
     fused_eligible = (
         use_pallas
         and cfg.pallas_fused
-        and bvh is None
+        and (bvh is None or not cfg.enable_nee)
         and inst is None
         and cfg.debug_view == "none"
         and cfg.rng == "murmur3"
         and proc_static.lambert_only
+        and proc_static.edits_lambert
     )
     # sample-major ray layout for the fused kernel: flattened (H*S, W)
     # rows put the SAME 128 pixels across samples into one (8,128) block
@@ -256,10 +259,12 @@ def render_samples(
             # -> the atlas fetch rides the MXU over that 12-texture set
             tex_set = None
             if fused_traces is not None and cfg.pallas_onehot_tex:
+                blocks = {proc_static.grass, proc_static.stone}
+                if proc_static.n_edits:
+                    # edited cells can carry any opaque-lambert block
+                    blocks |= set(proc_static.lambert_blocks)
                 tex_set = tuple(
-                    b * 6 + f
-                    for b in (proc_static.grass, proc_static.stone)
-                    for f in range(6)
+                    b * 6 + f for b in sorted(blocks) for f in range(6)
                 )
             br = shade.do_bounce(
                 o, d, tr, bounce_seed, materials,

@@ -207,11 +207,23 @@ class Scene:
         grid_np = self._grid_np
         key = (tuple(wc.origin), grid_np.shape, wc.seed)
         t = self.table
+
+        def _block_lambert(b: int) -> bool:
+            # statically cosine-scattering: no mirror branch (metallicity
+            # 0 everywhere) and no transmissive branch (alpha 1) — the
+            # scatter in shade.do_bounce is then texel-independent
+            return all(
+                float(t.metallicity[b * 6 + f].max()) == 0.0
+                and float(t.reflectivity[b * 6 + f][..., 3].min()) == 1.0
+                for f in range(6)
+            )
+
+        self._lambert_blocks = tuple(
+            b for b in range(t.n_blocks) if b != t.air and _block_lambert(b)
+        )
         lambert_only = all(
-            float(t.metallicity[b * 6 + f].max()) == 0.0
-            and float(t.reflectivity[b * 6 + f][..., 3].min()) == 1.0
+            b in self._lambert_blocks
             for b in (int(t.block_idx("grass")), int(t.block_idx("stone")))
-            for f in range(6)
         )
         ps0 = dda_proc.ProcStatic(
             seed=wc.seed, noise_scale=wc.noise_scale, y_falloff=wc.y_falloff,
@@ -280,8 +292,10 @@ class Scene:
             transl[i] = bool(self.table.translucent[b])
         coarse_np = dda_proc.build_coarse_dist(grid_np, self.table.air)
         if n == 0:
-            # edit-free: the pallas kernel may run — bake the empty-box
-            # skip structures as compile-time constants
+            # edit-free: bake the empty-box skip structures as
+            # compile-time constants (with edits the kernels march
+            # without in-kernel skips — rebaking per edit would force a
+            # recompile per set_block)
             from vrv_tpu.ops.pallas.trace_proc import coarse_consts
 
             ps0 = ps0._replace(
@@ -289,7 +303,18 @@ class Scene:
                     coarse_np, grid_np, int(self.table.air)
                 )
             )
-        self.proc_static = ps0._replace(n_edits=cap)
+        # fused-path eligibility under edits: every edited-in block must
+        # scatter cosine (air holes or opaque-lambert placements); glass/
+        # mirror edits evict to the staged per-bounce kernels
+        edits_lambert = all(
+            b == self.table.air or b in self._lambert_blocks
+            for b in self._proc_diff.values()
+        )
+        self.proc_static = ps0._replace(
+            n_edits=cap,
+            edits_lambert=edits_lambert,
+            lambert_blocks=self._lambert_blocks if cap else (),
+        )
         self.proc_arrays = {
             "coarse": jnp.asarray(coarse_np),
         }

@@ -62,11 +62,10 @@ def render_samples_wavefront(
         eye, front, right, up, W, H, S, frame, jitter_scale=cfg.jitter_scale
     )
     # backend resolution, same predicate as render/megakernel.py: the
-    # Mosaic kernel needs a TPU and an edit-free world
+    # Mosaic kernel needs a TPU (edits ride in via the SMEM edit list)
     use_pallas = (
         cfg.tracer == "proc"
         and proc_static is not None
-        and proc_static.n_edits == 0
         and (
             cfg.proc_backend == "pallas"
             or (cfg.proc_backend == "auto" and jax.default_backend() == "tpu")
