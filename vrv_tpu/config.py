@@ -43,6 +43,15 @@ class RenderConfig:
     t_max: float = 1000.0
     jitter_scale: float = 0.01
     enable_nee: bool = True       # do_nee flag, pathtrace_shader.rs:924 passes true
+    # NEE estimator: 'mixture' = the reference's one-sample MIS (the
+    # continuation ray is redirected at the light with probability w,
+    # pathtrace_shader.rs:775-872); 'split' = shadow-ray NEE (continuation
+    # stays cosine-sampled; direct light rides independent shadow rays) —
+    # same mean, compatible with the fused Pallas path kernel's recorded
+    # chain; 'auto' = split exactly where the fused kernel runs, mixture
+    # everywhere else (so CPU/staged renders keep reference semantics).
+    # Statistical agreement gated in tests/test_nee_split.py.
+    nee_mode: str = "auto"
     # per-ray RNG: 'murmur3' (bit-exact with the reference) or 'pcg'
     rng: str = "murmur3"
     # voxel tracer: 'proc' = gather-free procedural re-evaluation of the

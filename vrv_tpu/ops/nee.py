@@ -35,6 +35,7 @@ from vrv_tpu.ops.intersect import (
     triangle_center,
     triangle_radius_squared,
     visible_triangle_area,
+    visible_triangle_sample,
     _dot,
     _cross,
 )
@@ -73,13 +74,18 @@ def _gather(arr, idx):
     return out.astype(arr.dtype)
 
 
-PACKED_COLS = 25  # is_leaf | left | right | min(3) | max(3) | lum6(6) | tri(9) | lpa
+# is_leaf | left | right | min(3) | max(3) | lum6(6) | tri(9) | lpa | uv(6) | tex
+PACKED_COLS = 32
 
 
 def pack_nodes(bvh: dict) -> jax.Array:
-    """Concatenate all per-node constants into one (C, 25) f32 matrix so a
-    node fetch is a single one-hot matmul (see _gather)."""
+    """Concatenate all per-node constants into one (C, 32) f32 matrix so a
+    node fetch is a single one-hot matmul (see _gather). Columns 25:31 are
+    the leaf's per-vertex uvs and column 31 its texture id (exact small
+    ints in f32) — the split-NEE direct term's emission lookup."""
     c = bvh["is_leaf"].shape[0]
+    uv = bvh.get("uv")
+    tex = bvh.get("tex")
     return jnp.concatenate(
         [
             bvh["is_leaf"].astype(jnp.float32)[:, None],
@@ -90,6 +96,10 @@ def pack_nodes(bvh: dict) -> jax.Array:
             bvh["lum6"].astype(jnp.float32),
             bvh["tri"].reshape(c, 9).astype(jnp.float32),
             bvh["lpa"].astype(jnp.float32)[:, None],
+            (jnp.zeros((c, 6), jnp.float32) if uv is None
+             else uv.reshape(c, 6).astype(jnp.float32)),
+            (jnp.zeros((c, 1), jnp.float32) if tex is None
+             else tex.astype(jnp.float32)[:, None]),
         ],
         axis=1,
     )
@@ -255,4 +265,101 @@ def traverse(point, normal, seed, bvh, max_depth: int) -> TraverseResult:
         probability=prob,
         importance=jnp.where(failed, 0.0, imp),
         tri=_row_tri(cur_row),
+    )
+
+
+class LightSample(NamedTuple):
+    """A sampled light point for the split-NEE direct term (see
+    ops/shade.do_bounce nee_mode='split')."""
+
+    w: jax.Array          # (n,) f32 reference mixture weight clamp(imp/10,0,.5)
+    point: jax.Array      # (n, 3) sampled point on the leaf's visible area
+    dir: jax.Array        # (n, 3) unit shadow-ray direction (surface -> light)
+    dist: jax.Array       # (n,) f32 |light - surface|
+    cos_light: jax.Array  # (n,) f32 -dot(dir, leaf geometric normal)
+    uv: jax.Array         # (n, 2) barycentric-interpolated uv at the point
+    tex: jax.Array        # (n,) i32 leaf texture id
+    inv_pdf_area: jax.Array  # (n,) f32 A_visible / P(leaf): 1 / area-pdf
+    valid: jax.Array      # (n,) bool — sample usable (w>0, facing, nonzero area)
+
+
+def sample_light(point, normal, seed, bvh, max_depth: int,
+                 importance_scale: float = 10.0, mis_clamp: float = 0.5
+                 ) -> LightSample:
+    """Sample one light point per ray for shadow-ray (split) NEE.
+
+    Uses the SAME stochastic descent as the reference's mixture NEE
+    (traverse, seed slot 2) and the same importance weight
+    w = clamp(importance/10, 0, 0.5) (pathtrace_shader.rs:788) — but
+    instead of redirecting the continuation ray, the caller casts an
+    independent shadow ray to `point` and adds the direct term
+    w * BRDF * E * cos_light * inv_pdf_area / dist^2; the continuation
+    stays cosine-sampled and its surface-emission pickup is weighted by
+    (1 - w). Unlike the mixture pdf (which conditions on the chosen leaf,
+    shade.py ray_pdf_light), the split term's area pdf MUST include the
+    descent probability — only the chosen leaf is sampled, so 1/pdf =
+    A_visible / P(leaf).
+
+    Fresh draw slots 7/8/9 pick the point (mixture reuses 4/5/6, which
+    split mode must leave to the cosine continuation sampling).
+    """
+    res = traverse(point, normal, rng.murmur3_combine(seed, 2), bvh, max_depth)
+    w = jnp.where(
+        res.success & (res.importance > 0.0),
+        jnp.clip(res.importance / importance_scale, 0.0, mis_clamp),
+        0.0,
+    )
+    packed = bvh.get("packed")
+    if packed is None:
+        packed = pack_nodes(bvh)
+    row = _gather(packed, res.leaf_idx)
+    tri = _row_tri(row)
+    uv3 = row[:, 25:31].reshape(-1, 3, 2)
+    tex = jnp.round(row[:, 31]).astype(jnp.int32)
+
+    vt = split_into_visible_triangles(point, normal, tri)
+    a_vis = visible_triangle_area(vt)
+    y = visible_triangle_sample(
+        rng.draw(seed, 7), rng.draw(seed, 8), rng.draw(seed, 9), vt
+    )
+    to = y - point
+    dist = jnp.sqrt(_dot(to, to))
+    sdir = to / jnp.maximum(dist, 1e-30)[:, None]
+
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    nrm = _cross(e1, e2)
+    nrm = nrm / jnp.maximum(jnp.sqrt(_dot(nrm, nrm)), 1e-30)[:, None]
+    cos_l = -_dot(sdir, nrm)
+
+    # barycentrics of y in the ORIGINAL leaf triangle -> uv at y
+    p = y - tri[:, 0]
+    d11 = _dot(e1, e1)
+    d12 = _dot(e1, e2)
+    d22 = _dot(e2, e2)
+    dp1 = _dot(p, e1)
+    dp2 = _dot(p, e2)
+    det = jnp.maximum(d11 * d22 - d12 * d12, 1e-30)
+    bu = (d22 * dp1 - d12 * dp2) / det
+    bv = (d11 * dp2 - d12 * dp1) / det
+    uv_y = (
+        uv3[:, 0]
+        + bu[:, None] * (uv3[:, 1] - uv3[:, 0])
+        + bv[:, None] * (uv3[:, 2] - uv3[:, 0])
+    )
+
+    inv_pdf = a_vis / jnp.maximum(res.probability, 1e-30)
+    valid = (
+        res.success & (w > 0.0) & (a_vis > 0.0) & (cos_l > 0.0) & (dist > 1e-6)
+    )
+    return LightSample(
+        w=jnp.where(valid, w, 0.0),
+        point=y,
+        dir=sdir,
+        dist=dist,
+        cos_light=cos_l,
+        uv=uv_y,
+        tex=tex,
+        inv_pdf_area=inv_pdf,
+        valid=valid,
     )

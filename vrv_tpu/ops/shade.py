@@ -44,6 +44,14 @@ class BounceResult(NamedTuple):
     miss: jax.Array           # (n,) bool
     new_origin: jax.Array     # (n, 3)
     new_direction: jax.Array  # (n, 3)
+    # split-NEE fields (nee_mode='split' only; None otherwise). The caller
+    # traces the shadow ray and adds  throughput * direct * visible  to the
+    # image; `w` is the light-strategy weight the NEXT bounce's surface
+    # emission must be complemented by (1 - w).
+    direct: jax.Array = None         # (n, 3) pre-visibility direct term
+    shadow_dir: jax.Array = None     # (n, 3) unit dir (0 when no sample)
+    shadow_dist: jax.Array = None    # (n,) distance to the light point
+    w: jax.Array = None              # (n,) f32
 
 
 def _fetch_atlas(atlas: jax.Array, t: jax.Array, u: jax.Array, v: jax.Array):
@@ -140,6 +148,9 @@ def do_bounce(
     inst: Optional[dict] = None,
     inst_hit=None,
     tex_set: Optional[tuple] = None,
+    nee_mode: str = "mixture",
+    w_prev: Optional[jax.Array] = None,
+    light_tex_set: Optional[tuple] = None,
 ) -> BounceResult:
     """One path-tracing bounce for a flat ray batch.
 
@@ -152,6 +163,21 @@ def do_bounce(
     inst/inst_hit: optional dynamic-entity triangle set
     {'tri','t','uv','valid'} + ops.instances.InstanceHit; the nearer of the
     voxel and instance hits wins per ray.
+
+    nee_mode: 'mixture' = the reference's one-sample MIS (the continuation
+    ray is redirected at the light with probability w — pathtrace_shader.rs
+    :775-872); 'split' = shadow-ray NEE: the continuation stays
+    cosine-sampled (so a pre-recorded path chain, e.g. the fused Pallas
+    kernel's, stays valid) and the direct term rides a separate shadow ray
+    returned in BounceResult. Both weight the light strategy by the same
+    w = clamp(importance/10, 0, 0.5); surface emission picked up by the
+    chain is complemented by (1 - w_prev) in split mode, which makes the
+    two estimators agree in expectation (convex split of the same
+    integral; gated statistically in tests/test_nee_split.py).
+    w_prev: (n,) prior-bounce light weights (split mode).
+    light_tex_set: static tuple of texture ids reachable via light samples
+    (scene's emissive faces) — routes the direct term's emission fetch
+    through the exact one-hot MXU matmul instead of a row gather.
     """
     n = origin.shape[0]
     f32 = jnp.float32
@@ -249,6 +275,12 @@ def do_bounce(
     alpha = tex0[:, 3]
     emissivity = emission_gain * tex1 * (-_dot(direction, normal))[:, None]
     metallicity = tex2[:, 0]
+    if w_prev is not None:
+        # split NEE: the previous bounce already claimed `w_prev` of this
+        # surface-emission pickup through its shadow ray — the chain keeps
+        # the complement (sky misses are untouched: the light sampler
+        # cannot sample the sky, so the chain is its only estimator)
+        emissivity = emissivity * (1.0 - w_prev)[:, None]
 
     # --- scatter-kind branch (one draw, :758) ---
     scatter_rand = rng.draw(seed, 0)
@@ -266,7 +298,46 @@ def do_bounce(
         rng.draw(seed, 4), rng.draw(seed, 5), normal, tangent, bitangent
     )
 
-    if bvh is not None:
+    direct = sdir = sdist = w_out = None
+    if bvh is not None and nee_mode == "split":
+        # shadow-ray NEE (see docstring): continuation stays cosine; the
+        # direct term is w * BRDF * cos_x * E_y * cos_l * A_vis /
+        # (P(leaf) * dist^2), E_y evaluated with the chain's own emission
+        # convention gain * tex * cos_l (pathtrace_shader.rs:754) — the
+        # caller multiplies by shadow-ray visibility and path throughput
+        ls = nee.sample_light(
+            new_origin, normal, seed, bvh, bvh_max_depth,
+            importance_scale=nee_importance_scale, mis_clamp=nee_mis_clamp,
+        )
+        new_dir_l = dir_hemi
+        cos_theta = _dot(new_dir_l, normal)
+        # literal reference arithmetic: (cos/pi) / (cos/pi)
+        spdf_over_rpdf = (cos_theta / _PI) / (cos_theta / _PI)
+        if light_tex_set is not None and "packed" in materials:
+            te = _fetch_atlas_onehot(
+                materials["packed"], ls.tex, ls.uv[:, 0], ls.uv[:, 1],
+                light_tex_set,
+            )[:, 4:7]
+        else:
+            te = _fetch_atlas(
+                materials["emissivity"], ls.tex, ls.uv[:, 0], ls.uv[:, 1]
+            )
+        e_y = emission_gain * te * ls.cos_light[:, None]
+        cos_x = _dot(ls.dir, normal)
+        ok = ls.valid & is_lambert & hit & (cos_x > 0.0)
+        geo = ls.cos_light * ls.inv_pdf_area / jnp.maximum(
+            ls.dist * ls.dist, 1e-12
+        )
+        direct = jnp.where(
+            ok[:, None],
+            ls.w[:, None] * refl_lambert * cos_x[:, None] * e_y * geo[:, None],
+            0.0,
+        )
+        # degenerate dir for unsampled rays: the tracer retires them at init
+        sdir = jnp.where(ok[:, None], ls.dir, 0.0)
+        sdist = ls.dist
+        w_out = jnp.where(is_lambert & hit, ls.w, 0.0)
+    elif bvh is not None:
         res = nee.traverse(
             new_origin, normal, rng.murmur3_combine(seed, 2), bvh, bvh_max_depth
         )
@@ -341,4 +412,8 @@ def do_bounce(
         miss=~hit,
         new_origin=new_origin,
         new_direction=new_direction,
+        direct=direct,
+        shadow_dir=sdir,
+        shadow_dist=sdist,
+        w=w_out,
     )

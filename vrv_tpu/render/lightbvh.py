@@ -50,6 +50,9 @@ class LightBvh:
     lum6: np.ndarray         # (cap, 6) f32 (internal: rolled-up directional power)
     tri: np.ndarray          # (cap, 3, 3) f32 (leaf: triangle vertices)
     lpa: np.ndarray          # (cap,) f32 (leaf: luminance per area)
+    # leaf emission lookup (split-NEE direct term, ops/nee.sample_light):
+    uv: np.ndarray = None    # (cap, 3, 2) f32 per-vertex uv
+    tex: np.ndarray = None   # (cap,) i32 texture id (block*6+face / instance t)
 
     @property
     def has_lights(self) -> bool:
@@ -59,12 +62,22 @@ class LightBvh:
 def emissive_triangles(
     grid: np.ndarray, table: BlockTable
 ) -> Tuple[np.ndarray, np.ndarray]:
+    """(tris, lpa) of emissive grid faces — see emissive_lights."""
+    tris, lpa, _, _ = emissive_lights(grid, table)
+    return tris, lpa
+
+
+def emissive_lights(
+    grid: np.ndarray, table: BlockTable
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Extract emissive face triangles from the grid.
 
     The reference tags a triangle as a light iff the mean emissive power of
     its texture is > 0 (scene.rs:433-445); faces exist only toward
     translucent neighbors (chunk.rs:212). Returns (tris (n,3,3) f32 in grid
-    coords, lpa (n,) f32).
+    coords, lpa (n,) f32, uv (n,3,2) f32 per-vertex uvs from the face
+    tables (chunk.rs:211-275), tex (n,) i32 = block*6+face) — uv/tex feed
+    the split-NEE direct term's emission fetch at the sampled light point.
     """
     from vrv_tpu import native
 
@@ -95,14 +108,24 @@ def emissive_triangles(
         recs = np.asarray(out, np.int32).reshape(-1, 4)
 
     if len(recs) == 0:
-        return np.zeros((0, 3, 3), np.float32), np.zeros((0,), np.float32)
+        return (
+            np.zeros((0, 3, 3), np.float32), np.zeros((0,), np.float32),
+            np.zeros((0, 3, 2), np.float32), np.zeros((0,), np.int32),
+        )
+    from vrv_tpu.game.chunk import FACE_UVS
+
     cells_f = recs[:, :3].astype(np.float32)
     faces = recs[:, 3]
     blocks = grid[recs[:, 0], recs[:, 1], recs[:, 2]].astype(np.int64)
     verts = cells_f[:, None, :] + FACE_POSITIONS[faces]         # (n, 6, 3)
     tris = verts.reshape(-1, 2, 3, 3).reshape(-1, 3, 3)          # 2 tris per face
     lpas = np.repeat(lum[blocks * 6 + faces], 2).astype(np.float32)
-    return np.ascontiguousarray(tris, np.float32), lpas
+    uvs = FACE_UVS[faces].reshape(-1, 2, 3, 2).reshape(-1, 3, 2)
+    texs = np.repeat(blocks * 6 + faces, 2).astype(np.int32)
+    return (
+        np.ascontiguousarray(tris, np.float32), lpas,
+        np.ascontiguousarray(uvs, np.float32), texs,
+    )
 
 
 def _sah_split(
@@ -175,10 +198,15 @@ def _sah_split(
 
 
 def build_light_bvh(
-    tris: np.ndarray, lpa: np.ndarray, capacity: Optional[int] = None
+    tris: np.ndarray, lpa: np.ndarray, capacity: Optional[int] = None,
+    uv: Optional[np.ndarray] = None, tex: Optional[np.ndarray] = None,
 ) -> LightBvh:
     """Build the SoA light BVH (see module docstring)."""
     n = len(tris)
+    if uv is None:
+        uv = np.zeros((n, 3, 2), np.float32)
+    if tex is None:
+        tex = np.zeros((n,), np.int32)
     aabb_min = tris.min(axis=1)
     aabb_max = tris.max(axis=1)
     centroids = tris.mean(axis=1)
@@ -243,6 +271,8 @@ def build_light_bvh(
     lum6 = np.zeros((capacity, 6), np.float32)
     tri_out = np.zeros((capacity, 3, 3), np.float32)
     lpa_out = np.zeros(capacity, np.float32)
+    uv_out = np.zeros((capacity, 3, 2), np.float32)
+    tex_out = np.zeros(capacity, np.int32)
 
     for i, nd in enumerate(nodes):
         idxs = nd["idxs"]
@@ -251,6 +281,8 @@ def build_light_bvh(
             is_leaf[i] = True
             tri_out[i] = tris[p]
             lpa_out[i] = lpa[p]
+            uv_out[i] = uv[p]
+            tex_out[i] = tex[p]
             # leaves also expose their own 6-dir luminance for rollup
             lum6[i] = tri_lum6[p]
             amin[i] = aabb_min[p]
@@ -287,9 +319,11 @@ def build_light_bvh(
         lum6=lum6,
         tri=tri_out,
         lpa=lpa_out,
+        uv=uv_out,
+        tex=tex_out,
     )
 
 
 def build_from_grid(grid: np.ndarray, table: BlockTable, capacity=None) -> LightBvh:
-    tris, lpa = emissive_triangles(grid, table)
-    return build_light_bvh(tris, lpa, capacity=capacity)
+    tris, lpa, uv, tex = emissive_lights(grid, table)
+    return build_light_bvh(tris, lpa, capacity=capacity, uv=uv, tex=tex)

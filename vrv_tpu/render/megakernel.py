@@ -52,6 +52,7 @@ def render_samples(
     local_spp: int = 0,
     proc_static=None,
     proc=None,
+    light_tex_set=None,
 ) -> jax.Array:
     """Render linear radiance per sample: (spp, H, W, 3) float32.
 
@@ -76,16 +77,28 @@ def render_samples(
             or (cfg.proc_backend == "auto" and jax.default_backend() == "tpu")
         )
     )
-    fused_eligible = (
+    nee_active = bvh is not None and cfg.enable_nee
+    fused_candidate = (
         use_pallas
         and cfg.pallas_fused
-        and (bvh is None or not cfg.enable_nee)
         and inst is None
         and cfg.debug_view == "none"
         and cfg.rng == "murmur3"
+        and proc_static is not None
         and proc_static.lambert_only
         and proc_static.edits_lambert
     )
+    # split (shadow-ray) NEE keeps the fused kernel's cosine chain valid
+    # under lights (the reference's mixture NEE redirects the continuation
+    # ray, which would invalidate the recorded chain) — 'auto' switches to
+    # split exactly where the fused kernel runs, so a lamp no longer
+    # evicts the fast path (VERDICT r2 item 2; the reference's 28 fps
+    # kernel includes NEE, pathtrace_shader.rs:779-872)
+    split_nee = nee_active and (
+        cfg.nee_mode == "split"
+        or (cfg.nee_mode == "auto" and fused_candidate)
+    )
+    fused_eligible = fused_candidate and (not nee_active or split_nee)
     # sample-major ray layout for the fused kernel: flattened (H*S, W)
     # rows put the SAME 128 pixels across samples into one (8,128) block
     # (samples differ only by sub-pixel jitter -> in-block divergence
@@ -187,6 +200,52 @@ def render_samples(
     throughput = jnp.ones((n, 3), jnp.float32)
     alive = jnp.ones((n,), bool)
 
+    def trace_batch(o_tr, d_tr, hw=None):
+        """Dispatch a flat ray batch to the configured tracer — the bounce
+        traces and (split mode) the batched shadow rays use the same path."""
+        if cfg.tracer == "proc" and proc_static is not None:
+            if use_pallas:
+                from vrv_tpu.ops.pallas.trace_proc import trace_proc_pallas
+
+                return trace_proc_pallas(
+                    proc_static, o_tr, d_tr, t_min=cfg.t_min, t_max=cfg.t_max,
+                    pd=proc,
+                    unroll=cfg.pallas_unroll or None,
+                    hw=hw,
+                )
+            from vrv_tpu.ops.dda_proc import trace_proc
+
+            return trace_proc(
+                proc_static._replace(use_coarse=cfg.proc_coarse),
+                o_tr, d_tr, t_min=cfg.t_min, t_max=cfg.t_max, pd=proc,
+            )
+        if (cfg.tracer in ("rows", "proc")) and rows is not None:
+            from vrv_tpu.ops.dda_rows import trace_rows_auto as trace_rows
+
+            return trace_rows(
+                grid.shape, rows, translucent.shape[0], o_tr, d_tr,
+                t_min=cfg.t_min, t_max=cfg.t_max,
+            )
+        if dist is not None and cfg.tracer != "exact":
+            return dda.trace_skip(
+                grid, dist, translucent, o_tr, d_tr,
+                t_min=cfg.t_min, t_max=cfg.t_max,
+            )
+        return dda.trace(
+            grid, translucent, o_tr, d_tr, t_min=cfg.t_min, t_max=cfg.t_max
+        )
+
+    # ray-layout geometry for 2D image-tile blocking: each pallas block is
+    # an 8 x 128 PIXEL TILE (bounce rays inherit their pixel's slot, so
+    # locality persists across bounces); padded when fused_pad is set
+    layout_w = fused_pad[1] if fused_pad is not None else W
+    layout_rows = n // layout_w if cfg.pallas_tile2d else None
+    hw_bounce = (layout_rows, layout_w) if cfg.pallas_tile2d else None
+
+    # split-NEE per-bounce records (batched shadow trace after the loop)
+    split_T, split_direct, split_so, split_sd, split_dist = [], [], [], [], []
+    w_prev = None
+
     for bounce in range(cfg.max_bounces):
         # named scopes make the per-stage costs legible in xprof traces —
         # the observability the reference's wavefront branch existed for
@@ -195,42 +254,8 @@ def render_samples(
             o_tr = o + adv[:, None] * d if (bounce == 0 and adv is not None) else o
             if fused_traces is not None:
                 tr = fused_traces[bounce]
-            elif cfg.tracer == "proc" and proc_static is not None:
-                if use_pallas:
-                    from vrv_tpu.ops.pallas.trace_proc import trace_proc_pallas
-
-                    tr = trace_proc_pallas(
-                        proc_static, o_tr, d, t_min=cfg.t_min, t_max=cfg.t_max,
-                        pd=proc,
-                        unroll=cfg.pallas_unroll or None,
-                        # 2D image-tile blocking: each pallas block is an
-                        # 8 x 128 PIXEL TILE (bounce rays inherit their
-                        # pixel's slot, so locality persists across bounces)
-                        hw=(S * H, W) if cfg.pallas_tile2d else None,
-                    )
-                else:
-                    from vrv_tpu.ops.dda_proc import trace_proc
-
-                    tr = trace_proc(
-                        proc_static._replace(use_coarse=cfg.proc_coarse),
-                        o_tr, d, t_min=cfg.t_min, t_max=cfg.t_max, pd=proc,
-                    )
-            elif (cfg.tracer in ("rows", "proc")) and rows is not None:
-                from vrv_tpu.ops.dda_rows import trace_rows_auto as trace_rows
-
-                tr = trace_rows(
-                    grid.shape, rows, translucent.shape[0], o_tr, d,
-                    t_min=cfg.t_min, t_max=cfg.t_max,
-                )
-            elif dist is not None and cfg.tracer != "exact":
-                tr = dda.trace_skip(
-                    grid, dist, translucent, o_tr, d,
-                    t_min=cfg.t_min, t_max=cfg.t_max,
-                )
             else:
-                tr = dda.trace(
-                    grid, translucent, o_tr, d, t_min=cfg.t_min, t_max=cfg.t_max
-                )
+                tr = trace_batch(o_tr, d, hw=hw_bounce)
             if bounce == 0 and adv is not None:
                 # reconstruct the absolute hit t from the original eye so the
                 # result is bit-equal to an unadvanced trace (the tracer's t
@@ -266,9 +291,17 @@ def render_samples(
                 tex_set = tuple(
                     b * 6 + f for b in sorted(blocks) for f in range(6)
                 )
+            # split mode truncates NEE at the last bounce: its direct term
+            # stands in for the emission the chain would collect one bounce
+            # later, and the reference's loop ends here — keeping it would
+            # add path-length B+1 light the mixture estimator never sees
+            last = bounce == cfg.max_bounces - 1
+            bvh_b = None if (split_nee and last) else (
+                bvh if cfg.enable_nee else None
+            )
             br = shade.do_bounce(
                 o, d, tr, bounce_seed, materials,
-                bvh if cfg.enable_nee else None,
+                bvh_b,
                 sky_emission=cfg.sky_emission,
                 emission_gain=cfg.emission_gain,
                 nee_importance_scale=cfg.nee_importance_scale,
@@ -276,7 +309,17 @@ def render_samples(
                 bvh_max_depth=bvh_max_depth,
                 inst=inst, inst_hit=inst_hit,
                 tex_set=tex_set,
+                nee_mode="split" if split_nee else "mixture",
+                w_prev=w_prev,
+                light_tex_set=light_tex_set if split_nee else None,
             )
+        if split_nee and not last:
+            split_T.append(jnp.where(alive[:, None], throughput, 0.0))
+            split_direct.append(br.direct)
+            split_so.append(br.new_origin)
+            split_sd.append(br.shadow_dir)
+            split_dist.append(br.shadow_dist)
+        w_prev = br.w
         if cfg.debug_view == "albedo" and bounce == 0:
             # bounce-0 reflectivity visualization: textured surfaces +
             # white sky (the faithful 1-bounce render is E-only and reads
@@ -300,6 +343,32 @@ def render_samples(
         else:
             d = br.new_direction
 
+    if split_nee and split_direct:
+        # one batched shadow trace for ALL bounces: shadow rays are
+        # independent of path continuation, so they never gate the chain —
+        # a single kernel launch over (B-1)*n rays instead of a per-bounce
+        # trace (the per-launch overhead is what killed the staged path)
+        with jax.named_scope("nee_shadow_trace"):
+            b_s = len(split_direct)
+            so_cat = jnp.concatenate(split_so)
+            sd_cat = jnp.concatenate(split_sd)
+            dist_cat = jnp.concatenate(split_dist)
+            hw_shadow = (
+                (b_s * layout_rows, layout_w) if cfg.pallas_tile2d else None
+            )
+            sh = trace_batch(so_cat, sd_cat, hw=hw_shadow)
+            # visible iff nothing resolves strictly before the light point
+            # (the shadow ray's own hit on the sampled lamp face lands at
+            # t == dist up to fp error)
+            eps = 1e-3 + 1e-3 * dist_cat
+            vis = (~sh.hit) | (sh.t >= dist_cat - eps)
+        with jax.named_scope("nee_direct_accum"):
+            vis3 = vis.astype(jnp.float32)[:, None]
+            for b in range(b_s):
+                color = color + (
+                    split_T[b] * split_direct[b] * vis3[b * n:(b + 1) * n]
+                )
+
     if fused_pad is not None:
         Rp, Wp = fused_pad
         color = color.reshape(Rp, Wp, 3)[: S * H, :W].reshape(-1, 3)
@@ -319,12 +388,12 @@ def pack_bgra(pixel_color: jax.Array) -> jax.Array:
 def render_frame(
     grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows,
     eye, front, right, up, frame, cfg: RenderConfig,
-    proc_static=None, proc=None,
+    proc_static=None, proc=None, light_tex_set=None,
 ) -> jax.Array:
     """Full frame: average samples, pack BGRA u8 (H, W, 4)."""
     samples = render_samples(
         grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows,
         eye, front, right, up, frame, cfg,
-        proc_static=proc_static, proc=proc,
+        proc_static=proc_static, proc=proc, light_tex_set=light_tex_set,
     )
     return pack_bgra(samples.mean(axis=0))

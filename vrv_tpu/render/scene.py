@@ -57,6 +57,8 @@ def device_bvh(bvh: lb.LightBvh) -> Optional[dict]:
         "lum6": jnp.asarray(bvh.lum6),
         "tri": jnp.asarray(bvh.tri),
         "lpa": jnp.asarray(bvh.lpa),
+        "uv": jnp.asarray(bvh.uv),
+        "tex": jnp.asarray(bvh.tex),
     }
     dev["packed"] = pack_nodes(dev)
     return dev
@@ -109,6 +111,8 @@ class Scene:
         # for emissive textures and registers them as lights)
         self._inst_light_tri = np.zeros((0, 3, 3), np.float32)
         self._inst_light_lpa = np.zeros((0,), np.float32)
+        self._inst_light_uv = np.zeros((0, 3, 2), np.float32)
+        self._inst_light_tex = np.zeros((0,), np.int32)
         self._rebuild_lights()
         self._rebuild_dist()
         self._sync_proc()
@@ -131,7 +135,8 @@ class Scene:
         if not tris:
             self.instances_device = None
             self._set_instance_lights(
-                np.zeros((0, 3, 3), np.float32), np.zeros((0,), np.float32)
+                np.zeros((0, 3, 3), np.float32), np.zeros((0,), np.float32),
+                np.zeros((0, 3, 2), np.float32), np.zeros((0,), np.int32),
             )
             return
         tri = np.concatenate(tris)
@@ -143,7 +148,7 @@ class Scene:
         lum = self.table.texture_luminances
         tl = lum[np.clip(t.astype(np.int64), 0, len(lum) - 1)].astype(np.float32)
         em = tl > 0
-        self._set_instance_lights(tri[em], tl[em])
+        self._set_instance_lights(tri[em], tl[em], uv[em], t[em].astype(np.int32))
         n = len(tri)
         cap = max(16, 1 << (n - 1).bit_length())
         pad = cap - n
@@ -330,7 +335,8 @@ class Scene:
     # light structure
     # ------------------------------------------------------------------
 
-    def _set_instance_lights(self, tri: np.ndarray, lpa: np.ndarray) -> None:
+    def _set_instance_lights(self, tri: np.ndarray, lpa: np.ndarray,
+                             uv: np.ndarray, tex: np.ndarray) -> None:
         """Adopt the instance set's emissive triangles; rebuild the light
         BVH only when they actually changed (a moving non-emissive entity —
         the common case, quirk Q5 — never triggers a rebuild)."""
@@ -342,19 +348,28 @@ class Scene:
             return
         self._inst_light_tri = np.ascontiguousarray(tri, np.float32)
         self._inst_light_lpa = np.ascontiguousarray(lpa, np.float32)
+        self._inst_light_uv = np.ascontiguousarray(uv, np.float32)
+        self._inst_light_tex = np.ascontiguousarray(tex, np.int32)
         self._rebuild_lights()
 
     def _rebuild_lights(self):
-        tris, lpa = lb.emissive_triangles(self._grid_np, self.table)
+        tris, lpa, uv, tex = lb.emissive_lights(self._grid_np, self.table)
         if len(self._inst_light_tri):
             # grid lights + instance lights in one tree (the reference keeps
             # per-object BL BVHs under a TL BVH, scene.rs:260-308; one flat
             # tree has identical traversal semantics for our single grid)
             tris = np.concatenate([tris, self._inst_light_tri])
             lpa = np.concatenate([lpa, self._inst_light_lpa])
-        self.light_bvh = lb.build_light_bvh(tris, lpa)
+            uv = np.concatenate([uv, self._inst_light_uv])
+            tex = np.concatenate([tex, self._inst_light_tex])
+        self.light_bvh = lb.build_light_bvh(tris, lpa, uv=uv, tex=tex)
         self.bvh_device = device_bvh(self.light_bvh)
         self.bvh_max_depth = self.light_bvh.max_depth
+        # static texture-id set reachable by light samples: routes the
+        # split-NEE emission fetch through the exact one-hot MXU matmul
+        self.light_tex_set = (
+            tuple(sorted({int(x) for x in tex})) if len(tex) else None
+        )
 
     def _edit_touches_lights(self, cell: np.ndarray, old: int, new: int) -> bool:
         if old in self._emissive_blocks or new in self._emissive_blocks:
@@ -446,7 +461,8 @@ class Scene:
     def render(self, eye, front, right, up, frame: int, cfg: RenderConfig) -> jax.Array:
         """One frame -> (H, W, 4) u8 BGRA on device."""
         ps, pa = self._proc_for(cfg)
-        fn = _jit_render(cfg, self.bvh_max_depth, self.bvh_device is not None, ps)
+        fn = _jit_render(cfg, self.bvh_max_depth, self.bvh_device is not None, ps,
+                         self.light_tex_set)
         return fn(
             self.grid,
             self.translucent,
@@ -465,7 +481,8 @@ class Scene:
 
     def render_samples(self, eye, front, right, up, frame: int, cfg: RenderConfig) -> jax.Array:
         ps, pa = self._proc_for(cfg)
-        fn = _jit_render_samples(cfg, self.bvh_max_depth, self.bvh_device is not None, ps)
+        fn = _jit_render_samples(cfg, self.bvh_max_depth, self.bvh_device is not None,
+                                 ps, self.light_tex_set)
         return fn(
             self.grid,
             self.translucent,
@@ -500,7 +517,7 @@ def _rng_mode(mode: str):
 
 @functools.lru_cache(maxsize=64)
 def _jit_render(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool,
-                proc_static=None):
+                proc_static=None, light_tex_set=None):
     def fn(grid, translucent, materials, bvh, dist, inst, rows, proc,
            eye, front, right, up, frame):
         with _rng_mode(cfg.rng):
@@ -520,7 +537,7 @@ def _jit_render(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool,
         return megakernel.render_frame(
             grid, translucent, materials, bvh if has_lights else None,
             bvh_max_depth, dist, inst, rows, eye, front, right, up, frame, cfg,
-            proc_static=proc_static, proc=proc,
+            proc_static=proc_static, proc=proc, light_tex_set=light_tex_set,
         )
 
     return jax.jit(fn)
@@ -528,14 +545,14 @@ def _jit_render(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool,
 
 @functools.lru_cache(maxsize=64)
 def _jit_render_samples(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool,
-                        proc_static=None):
+                        proc_static=None, light_tex_set=None):
     def fn(grid, translucent, materials, bvh, dist, inst, rows, proc,
            eye, front, right, up, frame):
         with _rng_mode(cfg.rng):
             return megakernel.render_samples(
                 grid, translucent, materials, bvh if has_lights else None,
                 bvh_max_depth, dist, inst, rows, eye, front, right, up, frame, cfg,
-                proc_static=proc_static, proc=proc,
+                proc_static=proc_static, proc=proc, light_tex_set=light_tex_set,
             )
 
     return jax.jit(fn)
