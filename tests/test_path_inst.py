@@ -1,0 +1,179 @@
+"""Fused path kernel with in-kernel entity instances.
+
+The reference's TLAS carries entity meshes (the ego cube) inside the same
+28-fps kernel (main.rs:86-101, scene.rs:209-386). Here the instance
+triangles ride into the fused Pallas path kernel via SMEM, each bounce
+segment runs one Moller-Trumbore pass against them, the march early-exits
+past the instance hit, and instance-surface scatter (mirror / transmit /
+lambert over per-texture constant metallicity + per-texel alpha tables
+baked as kernel constants) is sampled in-kernel — so the ego cube no
+longer evicts the fast path (VERDICT r2 item 2).
+
+Gates: interpret-mode fused renders are BIT-identical to the staged XLA
+path (which computes instance hits with ops.instances.trace_instances and
+scatters in shade.do_bounce), across material classes and layouts.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vrv_tpu.config import RenderConfig, WorldConfig
+from vrv_tpu.game.world import Isometry
+from vrv_tpu.ops.instances import transform_mesh
+from vrv_tpu.render.scene import Scene
+from vrv_tpu.utils.geometry import unitcube
+
+
+@pytest.fixture(autouse=True)
+def interpret_pallas():
+    import vrv_tpu.ops.pallas.trace_proc as tp
+
+    old = tp.INTERPRET
+    tp.INTERPRET = True
+    yield
+    tp.INTERPRET = old
+
+
+def _ego_scene(block_table, g=32, with_lamp=True, cube_block=None):
+    """Worldgen scene + a unitcube entity hovering over the terrain (the
+    app's ego setup: raw texture ids 0-5 = the glass faces, like
+    utils::unitcube in main.rs:86-101), optionally retextured to another
+    block's faces."""
+    wc = WorldConfig(size=(g, g, g), origin=(-g // 2, -g // 2, -g // 2), seed=0)
+    sc = Scene(wc, table=block_table)
+    grid_np = sc._grid_np
+    solid = block_table.solid[grid_np]
+    ys = np.nonzero(solid[g // 2, :, g // 2])[0]
+    ytop = int(ys.max())
+    org = np.asarray(wc.origin)
+    if with_lamp:
+        assert sc.set_block(
+            np.array([g // 2, ytop + 1, g // 2]) + org,
+            int(block_table.block_idx("lamp")),
+        )
+    cube = transform_mesh(
+        unitcube(),
+        Isometry(np.array([0.0, ytop + 3.0 + org[1], 0.0]) - org.astype(np.float64)),
+    )
+    if cube_block is not None:
+        cube = dict(cube, t=cube["t"] + np.uint32(cube_block * 6))
+    sc.set_instances([cube])
+    eye = np.array([0.0, ytop + 6 + org[1], -8.0])
+    front = jnp.asarray([0.0, -0.45, 0.893], jnp.float32)
+    right = jnp.asarray([-1.0, 0.0, 0.0], jnp.float32)
+    up = jnp.asarray([0.0, -0.893, -0.45], jnp.float32)
+    return sc, (eye, front, right, up)
+
+
+def _fused_vs_staged(sc, cam, cfg, require_fused=True):
+    import vrv_tpu.ops.pallas.path_proc as pp
+
+    calls = []
+    real = pp.trace_path_pallas
+    pp.trace_path_pallas = lambda *a, **k: (
+        calls.append(k.get("inst") is not None), real(*a, **k))[1]
+    try:
+        fused = np.asarray(sc.render_samples(
+            *cam, 1, cfg.replace(proc_backend="pallas", nee_mode="auto")))
+    finally:
+        pp.trace_path_pallas = real
+    if require_fused:
+        assert calls and all(calls), "fused kernel did not run with instances"
+    staged = np.asarray(sc.render_samples(
+        *cam, 1, cfg.replace(proc_backend="xla", nee_mode="split")))
+    return fused, staged, calls
+
+
+def test_fused_inst_bit_identical_glass_ego(block_table):
+    """The app's actual ego cube (glass faces, texel-varying alpha) +
+    lamp + edit: the graded interactive scenario, fully in-kernel."""
+    sc, cam = _ego_scene(block_table)
+    assert sc.inst_static is not None and sc.inst_static[0] == (0, 1, 2, 3, 4, 5)
+    for prepad in (False, True):
+        cfg = RenderConfig(width=16, height=8, samples_per_pixel=2,
+                           max_bounces=3, beam_prepass=False,
+                           pallas_unroll=1, pallas_prepad=prepad)
+        fused, staged, _ = _fused_vs_staged(sc, cam, cfg)
+        assert (fused == staged).all(), np.abs(fused - staged).max()
+
+
+def test_fused_inst_bit_identical_mirror_cube(block_table):
+    """A mirror-faced cube (constant metallicity 1): the in-kernel
+    scatter must take the reflect branch."""
+    mirror = int(block_table.block_idx("mirror"))
+    sc, cam = _ego_scene(block_table, with_lamp=False, cube_block=mirror)
+    assert sc.inst_static is not None
+    cfg = RenderConfig(width=16, height=8, samples_per_pixel=2,
+                       max_bounces=3, beam_prepass=False, pallas_unroll=1)
+    fused, staged, _ = _fused_vs_staged(sc, cam, cfg)
+    assert (fused == staged).all(), np.abs(fused - staged).max()
+
+
+def test_fused_inst_bit_identical_no_lights(block_table):
+    """Instance-only scene (no lamp): instances alone must not evict."""
+    sc, cam = _ego_scene(block_table, with_lamp=False)
+    cfg = RenderConfig(width=16, height=8, samples_per_pixel=2,
+                       max_bounces=2, beam_prepass=False, pallas_unroll=1)
+    fused, staged, _ = _fused_vs_staged(sc, cam, cfg)
+    assert (fused == staged).all(), np.abs(fused - staged).max()
+
+
+def test_instance_shadows_block_direct_light(block_table):
+    """An opaque cube between the lamp and the floor must block the
+    split-NEE shadow rays (instances occlude NEE like the reference's
+    full-TLAS ray query, pathtrace_shader.rs:652-686). Sky emission is
+    zeroed so the lamp is the only light — the cube's shadow is then a
+    first-order darkening of the floor."""
+    g = 16
+    wc = WorldConfig(size=(g, g, g), origin=(0, 0, 0), seed=0)
+    stone = int(block_table.block_idx("stone"))
+    lamp = int(block_table.block_idx("lamp"))
+    air = int(block_table.air)
+    grid = np.full((g, g, g), air, np.uint8)
+    grid[:, 0, :] = stone
+    grid[8, 3, 8] = lamp
+    sc = Scene(wc, table=block_table, grid=grid)
+    cam = (
+        np.array([8.0, 4.0, 2.0]),
+        jnp.asarray([0.0, -0.55, 0.835], jnp.float32),
+        jnp.asarray([-1.0, 0.0, 0.0], jnp.float32),
+        jnp.asarray([0.0, -0.835, -0.55], jnp.float32),
+    )
+    cfg = RenderConfig(width=16, height=12, samples_per_pixel=16,
+                       max_bounces=2, beam_prepass=False, tracer="skip",
+                       nee_mode="split", sky_emission=0.0)
+    open_img = np.asarray(sc.render_samples(*cam, 0, cfg)).mean(0)
+    # stone-faced wall between the lamp and the camera-visible floor
+    # strip: the strip's shadow rays are all instance-blocked
+    from vrv_tpu.utils.geometry import cuboid
+
+    wall = cuboid([8.5, 2.0, 6.5], [8.0, 3.0, 0.2])
+    wall = dict(wall, t=wall["t"] + np.uint32(stone * 6))
+    sc.set_instances([wall])
+    blocked_img = np.asarray(sc.render_samples(*cam, 0, cfg)).mean(0)
+    # gate on floor pixels (exclude the directly-visible lamp faces)
+    floor = (
+        (open_img.max(-1) < 10.0) & (open_img.max(-1) > 1e-4)
+        & (blocked_img.max(-1) < 10.0)
+    )
+    assert floor.sum() > 20
+    assert blocked_img[floor].mean() < open_img[floor].mean() * 0.1, (
+        blocked_img[floor].mean(), open_img[floor].mean())
+
+
+def test_ineligible_instance_falls_back(block_table):
+    """Out-of-range texture ids cannot bake material tables -> the scene
+    marks the set kernel-ineligible and the render falls back to the
+    staged kernels (still correct, just slower)."""
+    sc, cam = _ego_scene(block_table, with_lamp=False)
+    cube = transform_mesh(unitcube(), Isometry(np.array([16.0, 19.0, 16.0])))
+    cube = dict(cube, t=cube["t"] + np.uint32(900))
+    sc.set_instances([cube])
+    assert sc.inst_static is None
+    cfg = RenderConfig(width=8, height=8, samples_per_pixel=1,
+                       max_bounces=2, beam_prepass=False, pallas_unroll=1)
+    fused, staged, calls = _fused_vs_staged(sc, cam, cfg, require_fused=False)
+    assert not any(calls)  # kernel was never handed the instances
+    assert (fused == staged).all()

@@ -52,6 +52,10 @@ class RenderConfig:
     # everywhere else (so CPU/staged renders keep reference semantics).
     # Statistical agreement gated in tests/test_nee_split.py.
     nee_mode: str = "auto"
+    # fused path kernel: keep constant-material entity instances IN the
+    # kernel (SMEM triangles + in-kernel scatter) instead of evicting to
+    # the staged kernels (render/megakernel.py inst_in_kernel)
+    pallas_inst: bool = True
     # per-ray RNG: 'murmur3' (bit-exact with the reference) or 'pcg'
     rng: str = "murmur3"
     # voxel tracer: 'proc' = gather-free procedural re-evaluation of the
@@ -192,6 +196,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--progressive", action="store_true")
     p.add_argument("--infinite", action="store_true",
                    help="streaming world: the window recenters on the ego")
+    p.add_argument("--debug-view", choices=["none", "albedo", "prim",
+                                            "steps", "bvhdepth"],
+                   default=None,
+                   help="visualization views (debugPrim/debugBvh analogs, "
+                        "pathtrace_shader.rs:583-599, + a march-cost "
+                        "heatmap)")
     return p
 
 
@@ -201,9 +211,12 @@ def configs_from_args(args) -> Tuple[RenderConfig, WorldConfig]:
         height=args.height,
         samples_per_pixel=args.spp,
         max_bounces=args.bounces,
-        # albedo view is a megakernel-path visualization
-        mode="megakernel" if args.debug_albedo else args.mode,
-        debug_view="albedo" if args.debug_albedo else "none",
+        # debug views are megakernel-path visualizations
+        mode="megakernel" if (args.debug_albedo or args.debug_view)
+        else args.mode,
+        debug_view=args.debug_view or (
+            "albedo" if args.debug_albedo else "none"
+        ),
         tracer=args.tracer,
         enable_nee=not args.no_nee,
         beam_prepass=not args.no_beam,

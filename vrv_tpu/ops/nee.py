@@ -199,6 +199,7 @@ class TraverseResult(NamedTuple):
     probability: jax.Array  # f32 descent probability
     importance: jax.Array   # f32 importance of the chosen node
     tri: jax.Array          # (n, 3, 3) chosen leaf triangle (valid iff success)
+    depth: jax.Array = None  # int32 descent levels (debugBvh-style view)
 
 
 def traverse(point, normal, seed, bvh, max_depth: int) -> TraverseResult:
@@ -224,6 +225,7 @@ def traverse(point, normal, seed, bvh, max_depth: int) -> TraverseResult:
     done = root_leaf
     success = done
     failed = jnp.zeros(n, bool)
+    depth = jnp.zeros(n, jnp.int32)
     seed = jnp.broadcast_to(rng.u32(seed), (n,))
 
     for _ in range(max_depth):
@@ -248,6 +250,7 @@ def traverse(point, normal, seed, bvh, max_depth: int) -> TraverseResult:
 
         newly_failed = active & zero_total
         step = active & ~zero_total
+        depth = depth + step.astype(jnp.int32)
         cur = jnp.where(step, new_cur, cur)
         cur_row = jnp.where(step[:, None], new_row, cur_row)
         prob = jnp.where(step, new_prob, prob)
@@ -265,6 +268,7 @@ def traverse(point, normal, seed, bvh, max_depth: int) -> TraverseResult:
         probability=prob,
         importance=jnp.where(failed, 0.0, imp),
         tri=_row_tri(cur_row),
+        depth=depth,
     )
 
 

@@ -109,7 +109,8 @@ def _combine(h, k):
 
 def _path_kernel(
     *refs,
-    ps, t_min, t_max, n_bounces, unroll, coarse, retire_cond=True,
+    ps, t_min, t_max, n_bounces, unroll, coarse, retire_cond=True, n_inst=0,
+    inst_mat=None,
 ):
     f32 = jnp.float32
     i32 = jnp.int32
@@ -124,15 +125,76 @@ def _path_kernel(
     tiny = f32(1e-12)
     E = ps.n_edits
 
+    k = 0
     if E:
-        (ek_ref, ef_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-         seed_ref), out_refs = refs[:9], refs[9:]
+        ek_ref, ef_ref = refs[0], refs[1]
         edits = _edit_overrides(ek_ref, ef_ref, E)
-    else:
-        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-         seed_ref), out_refs = refs[:7], refs[7:]
+        k = 2
+    if n_inst:
+        iv_ref = refs[k]
+        k += 1
+        # loop-invariant per-triangle scalars, read ONCE per kernel:
+        # [v0(3) | v1(3) | v2(3) | texslot | uv0 uv1 uv2 (6)] per row;
+        # per-texture constant metallicity + per-texel alpha byte words
+        # arrive as compile-time constants in inst_mat
+        inst_rows = [
+            [iv_ref[j * 16 + c] for c in range(16)] for j in range(n_inst)
+        ]
+        inst_alpha_words, inst_metal = inst_mat
+    (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+     seed_ref), out_refs = refs[k:k + 7], refs[k + 7:]
 
     seed0 = seed_ref[:]
+
+    def inst_intersect(ox, oy, oz, dx, dy, dz):
+        """Nearest instance-triangle hit per lane (Moller-Trumbore over the
+        SMEM triangle list; formula order mirrors ops.instances.
+        trace_instances so interpret mode is bit-identical to the staged
+        XLA pass). Returns (hit(bool), t, prim(i32), u, v)."""
+        best_t = None
+        for j in range(n_inst):
+            r = inst_rows[j]
+            v0x, v0y, v0z = r[0], r[1], r[2]
+            e1x, e1y, e1z = r[3] - r[0], r[4] - r[1], r[5] - r[2]
+            e2x, e2y, e2z = r[6] - r[0], r[7] - r[1], r[8] - r[2]
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = (e1x * px + e1y * py) + e1z * pz
+            ok = jnp.abs(det) > f32(1e-9)
+            inv = 1.0 / jnp.where(ok, det, f32(1.0))
+            tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+            u = ((tvx * px + tvy * py) + tvz * pz) * inv
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            v = ((dx * qx + dy * qy) + dz * qz) * inv
+            t = ((e2x * qx + e2y * qy) + e2z * qz) * inv
+            ok = (
+                ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t >= f32(t_min)) & (t <= f32(t_max))
+            )
+            t = jnp.where(ok, t, f32(3e38))
+            if best_t is None:
+                best_t, best_ok, best_u, best_v = t, ok, u, v
+                best_j = jnp.zeros_like(t, i32)
+            else:
+                better = t < best_t  # strict: first-minimum like argmin
+                best_ok = (better & ok) | (~better & best_ok)
+                best_t = jnp.where(better, t, best_t)
+                best_u = jnp.where(better, u, best_u)
+                best_v = jnp.where(better, v, best_v)
+                best_j = jnp.where(better, i32(j), best_j)
+        return best_ok, best_t, best_j, best_u, best_v
+
+    def inst_select(best_j):
+        """Per-lane triangle constants for the chosen prim (16 values)."""
+        out = [jnp.full_like(best_j, 0).astype(f32) for _ in range(16)]
+        for j in range(n_inst):
+            m = best_j == j
+            for c in range(16):
+                out[c] = jnp.where(m, inst_rows[j][c], out[c])
+        return out
 
     def solid_at(cx, cy, cz, inside):
         # eligibility (edits_lambert, checked by trace_path_pallas)
@@ -231,6 +293,16 @@ def _path_kernel(
     out_t = [zf for _ in range(B)]
     out_packed = [zi for _ in range(B)]
     out_d = [(zf, zf, zf) for _ in range(B - 1)]  # dirs for bounces 1..B-1
+    # instance-hit records per bounce: (prim or -1, bary u, bary v)
+    out_i = [(zi - 1, zf, zf) for _ in range(B)] if n_inst else []
+
+    if n_inst:
+        ihit0, it0, ij0, iu0, iv0 = inst_intersect(
+            ox0, oy0, oz0, dx0, dy0, dz0
+        )
+        inst_st = (ihit0.astype(i32), it0, ij0, iu0, iv0)
+    else:
+        inst_st = ()
 
     state = (
         jnp.zeros_like(cx),                     # pbounce
@@ -238,7 +310,8 @@ def _path_kernel(
         cx, cy, cz,
         cur_solid.astype(i32), mhit.astype(i32), mdead.astype(i32),
         t, face, hx, hy, hz, entering.astype(i32),
-        tuple(out_t), tuple(out_packed), tuple(out_d),
+        inst_st,
+        tuple(out_t), tuple(out_packed), tuple(out_d), tuple(out_i),
         jnp.int32(0),                           # chunk counter
     )
 
@@ -251,7 +324,7 @@ def _path_kernel(
     def march_step(s):
         (pbounce, ox, oy, oz, dx, dy, dz, ix, iy, iz, scx, scy, scz,
          cur_solid_i, mhit_i, mdead_i, t, face, hx, hy, hz, entering_i,
-         o_t, o_p, o_d, chunks) = s
+         inst_st, o_t, o_p, o_d, o_i, chunks) = s
         cur_solid = cur_solid_i != 0
         mhit = mhit_i != 0
         mdead = mdead_i != 0
@@ -375,6 +448,14 @@ def _path_kernel(
         dead_now = marching & ~any_hit & (
             (can_skip & skip_out) | (~can_skip & dead_exact)
         )
+        if n_inst:
+            # once the march passes the instance hit, no nearer voxel hit
+            # can exist -> resolve now; retire's t-compare picks the
+            # instance (exactly what an exhaustive march would conclude)
+            t_prog = jnp.where(can_skip, t_skip, t_next) if coarse is not None else t_next
+            dead_now = dead_now | (
+                marching & ~any_hit & (inst_st[0] != 0) & (t_prog > inst_st[1])
+            )
         keep = ~marching
         return (
             pbounce, ox, oy, oz, dx, dy, dz, ix, iy, iz,
@@ -390,21 +471,35 @@ def _path_kernel(
             jnp.where(rec, jnp.where(entering_hit, ny, scy), hy),
             jnp.where(rec, jnp.where(entering_hit, nz, scz), hz),
             ((rec & entering_hit) | (~rec & entering)).astype(i32),
-            o_t, o_p, o_d, chunks,
+            inst_st, o_t, o_p, o_d, o_i, chunks,
         )
 
     def retire(s):
         (pbounce, ox, oy, oz, dx, dy, dz, ix, iy, iz, scx, scy, scz,
          cur_solid_i, mhit_i, mdead_i, t, face, hx, hy, hz, entering_i,
-         o_t, o_p, o_d, chunks) = s
+         inst_st, o_t, o_p, o_d, o_i, chunks) = s
         mhit = mhit_i != 0
         mdead = mdead_i != 0
         entering = entering_i != 0
         active = pbounce < B
         resolved = active & (mhit | mdead)
 
+        # --- instance-vs-voxel resolution (do_bounce's use_inst rule:
+        # the instance wins iff it hit and the voxel either missed or
+        # resolved strictly later) ---
+        if n_inst:
+            ihit = inst_st[0] != 0
+            it_, ij_, iu_, iv_ = inst_st[1], inst_st[2], inst_st[3], inst_st[4]
+            inst_wins = ihit & (mdead | (mhit & (it_ < t)))
+            vox_hit = mhit & ~inst_wins
+            t_fin = jnp.where(inst_wins, it_, t)
+        else:
+            inst_wins = jnp.zeros(ox.shape, bool)
+            vox_hit = mhit
+            t_fin = t
+
         packed = (
-            mhit.astype(i32)
+            vox_hit.astype(i32)
             | (entering.astype(i32) << 1)
             | (face << 2)
             | (hx << 5)
@@ -414,20 +509,31 @@ def _path_kernel(
         o_t = list(o_t)
         o_p = list(o_p)
         o_d = list(o_d)
+        o_i = list(o_i)
         for b in range(B):
             sel = resolved & (pbounce == b)
-            o_t[b] = jnp.where(sel, t, o_t[b])
+            o_t[b] = jnp.where(sel, t_fin, o_t[b])
             o_p[b] = jnp.where(sel, packed, o_p[b])
+            if n_inst:
+                rp, ru, rv = o_i[b]
+                selw = sel & inst_wins
+                o_i[b] = (
+                    jnp.where(selw, ij_, rp),
+                    jnp.where(selw, iu_, ru),
+                    jnp.where(selw, iv_, rv),
+                )
 
-        # --- sample the next bounce for resolved HITS (lambert-only) ---
-        advance = resolved & mhit & (pbounce < B - 1)
+        # --- sample the next bounce for resolved HITS (voxel hits are
+        # statically lambert; instance hits branch on their per-triangle
+        # constant metallicity/alpha) ---
+        advance = resolved & (mhit | inst_wins) & (pbounce < B - 1)
         seed_b = _combine(seed0, pbounce.astype(jnp.uint32))
         r4 = _draw(seed_b, 4)
         r5 = _draw(seed_b, 5)
 
-        hpx = ox + t * dx
-        hpy = oy + t * dy
-        hpz = oz + t * dz
+        hpx = ox + t_fin * dx
+        hpy = oy + t_fin * dy
+        hpz = oz + t_fin * dz
         frx = hpx - hx.astype(f32)
         fry = hpy - hy.astype(f32)
         frz = hpz - hz.astype(f32)
@@ -478,6 +584,81 @@ def _path_kernel(
         ndy = ndy / ln
         ndz = ndz / ln
 
+        if n_inst:
+            # --- instance-surface scatter (formula order mirrors
+            # shade.do_bounce's instance branch + intersect.reflect /
+            # aligned_cosine_sample so interpret mode stays bit-identical
+            # to the staged path) ---
+            r = inst_select(ij_)
+            v0x, v0y, v0z = r[0], r[1], r[2]
+            e1x, e1y, e1z = r[3] - r[0], r[4] - r[1], r[5] - r[2]
+            e2x, e2y, e2z = r[6] - r[0], r[7] - r[1], r[8] - r[2]
+            texslot = r[9].astype(i32)
+            # bary-interpolated uv -> texel -> per-texel alpha byte from
+            # the compile-time tables (mirrors shade._fetch_atlas + the
+            # asset loader's byte/255 f32 exactly); metallicity is a
+            # per-texture constant
+            b0u = 1.0 - iu_ - iv_
+            u_i = (b0u * r[10] + iu_ * r[12]) + iv_ * r[14]
+            v_i = (b0u * r[11] + iu_ * r[13]) + iv_ * r[15]
+            tx16 = jnp.clip((u_i * 16.0).astype(i32), 0, 15)
+            ty16 = jnp.clip((v_i * 16.0).astype(i32), 0, 15)
+            texel = ty16 * 16 + tx16
+            aword = jnp.zeros_like(texel)
+            metal = jnp.zeros_like(u_i)
+            for si in range(len(inst_metal)):
+                msk = texslot == si
+                wsi = _const_word_tree(inst_alpha_words[si], texel >> 2)
+                aword = jnp.where(msk, wsi, aword)
+                metal = jnp.where(msk, f32(inst_metal[si]), metal)
+            abyte = (aword >> (8 * (texel & 3))) & 0xFF
+            ialpha = abyte.astype(f32) / f32(255.0)
+            nux = e1y * e2z - e1z * e2y
+            nuy = e1z * e2x - e1x * e2z
+            nuz = e1x * e2y - e1y * e2x
+            nl = jnp.maximum(
+                jnp.sqrt((nux * nux + nuy * nuy) + nuz * nuz), f32(1e-30)
+            )
+            inx, iny, inz = nux / nl, nuy / nl, nuz / nl
+            tl = jnp.maximum(
+                jnp.sqrt((e1x * e1x + e1y * e1y) + e1z * e1z), f32(1e-30)
+            )
+            itx, ity, itz = e1x / tl, e1y / tl, e1z / tl
+            bux = nuy * e1z - nuz * e1y
+            buy = nuz * e1x - nux * e1z
+            buz = nux * e1y - nuy * e1x
+            bl = jnp.maximum(
+                jnp.sqrt((bux * bux + buy * buy) + buz * buz), f32(1e-30)
+            )
+            ibx, iby, ibz = bux / bl, buy / bl, buz / bl
+            # bary-interpolated hit point (do_bounce new_origin, :742)
+            b0 = 1.0 - iu_ - iv_
+            ipx = (b0 * v0x + iu_ * r[3]) + iv_ * r[6]
+            ipy = (b0 * v0y + iu_ * r[4]) + iv_ * r[7]
+            ipz = (b0 * v0z + iu_ * r[5]) + iv_ * r[8]
+            # scatter branch on per-triangle constants (one draw, :758)
+            r0 = _draw(seed_b, 0)
+            is_mirror = r0 < metal
+            is_trans = (~is_mirror) & (r0 < metal + (1.0 - ialpha))
+            ndotd = (inx * dx + iny * dy) + inz * dz
+            rfx = dx - 2.0 * ndotd * inx
+            rfy = dy - 2.0 * ndotd * iny
+            rfz = dz - 2.0 * ndotd * inz
+            ldx = h0 * itx + h1 * inx + h2 * ibx
+            ldy = h0 * ity + h1 * iny + h2 * iby
+            ldz = h0 * itz + h1 * inz + h2 * ibz
+            ill = jnp.sqrt(ldx * ldx + ldy * ldy + ldz * ldz)
+            ldx, ldy, ldz = ldx / ill, ldy / ill, ldz / ill
+            idx_ = jnp.where(is_mirror, rfx, jnp.where(is_trans, dx, ldx))
+            idy_ = jnp.where(is_mirror, rfy, jnp.where(is_trans, dy, ldy))
+            idz_ = jnp.where(is_mirror, rfz, jnp.where(is_trans, dz, ldz))
+            ndx = jnp.where(inst_wins, idx_, ndx)
+            ndy = jnp.where(inst_wins, idy_, ndy)
+            ndz = jnp.where(inst_wins, idz_, ndz)
+            hpx = jnp.where(inst_wins, ipx, hpx)
+            hpy = jnp.where(inst_wins, ipy, hpy)
+            hpz = jnp.where(inst_wins, ipz, hpz)
+
         for b in range(1, B):
             sel = advance & (pbounce == b - 1)
             odx, ody, odz = o_d[b - 1]
@@ -509,6 +690,20 @@ def _path_kernel(
             # bitwise select: Mosaic rejects select_n on i1 vectors
             return (advance & new) | (~advance & old)
 
+        if n_inst:
+            nihit, nit, nij, niu, niv = inst_intersect(
+                n_ox, n_oy, n_oz, n_dx, n_dy, n_dz
+            )
+            n_inst_st = (
+                merge_b(nihit, inst_st[0] != 0).astype(i32),
+                merge_f(nit, inst_st[1]),
+                merge_f(nij, inst_st[2]),
+                merge_f(niu, inst_st[3]),
+                merge_f(niv, inst_st[4]),
+            )
+        else:
+            n_inst_st = ()
+
         return (
             n_pbounce, n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
             merge_f(iix, ix), merge_f(iiy, iy), merge_f(iiz, iz),
@@ -522,7 +717,8 @@ def _path_kernel(
             merge_f(ihy, jnp.where(resolved, 0, hy)),
             merge_f(ihz, jnp.where(resolved, 0, hz)),
             merge_b(ient, entering & ~resolved).astype(i32),
-            tuple(o_t), tuple(o_p), tuple(o_d),
+            n_inst_st,
+            tuple(o_t), tuple(o_p), tuple(o_d), tuple(o_i),
             chunks,
         )
 
@@ -549,7 +745,7 @@ def _path_kernel(
         return s[:-1] + (s[-1] + 1,)
 
     s = jax.lax.while_loop(cond, body, state)
-    o_t, o_p, o_d = s[-4], s[-3], s[-2]
+    o_t, o_p, o_d, o_i = s[-5], s[-4], s[-3], s[-2]
     k = 0
     for b in range(B):
         out_refs[k][:] = o_p[b]
@@ -561,16 +757,23 @@ def _path_kernel(
         out_refs[k + 1][:] = ody
         out_refs[k + 2][:] = odz
         k += 3
+    for b in range(B) if n_inst else []:
+        rp, ru, rv = o_i[b]
+        out_refs[k][:] = rp
+        out_refs[k + 1][:] = ru
+        out_refs[k + 2][:] = rv
+        k += 3
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("ps", "t_min", "t_max", "n_bounces", "interpret",
-                     "unroll", "coarse", "hw", "retire_cond"),
+                     "unroll", "coarse", "hw", "retire_cond", "n_inst",
+                     "inst_mat"),
 )
 def _path_pallas_flat(ps, o, d, seeds, edit_args, t_min, t_max, n_bounces,
                       interpret=False, unroll=1, coarse=None, hw=None,
-                      retire_cond=True):
+                      retire_cond=True, inst_args=(), n_inst=0, inst_mat=None):
     br = BLOCK_ROWS
     n = o.shape[0]
     B = n_bounces
@@ -609,7 +812,7 @@ def _path_pallas_flat(ps, o, d, seeds, edit_args, t_min, t_max, n_bounces,
     dx, dy, dz = prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2])
     sd = prep(seeds)
 
-    n_out = 2 * B + 3 * (B - 1)
+    n_out = 2 * B + 3 * (B - 1) + (3 * B if n_inst else 0)
     out_shapes = []
     for b in range(B):
         out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))
@@ -617,6 +820,10 @@ def _path_pallas_flat(ps, o, d, seeds, edit_args, t_min, t_max, n_bounces,
     for b in range(B - 1):
         for _ in range(3):
             out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.float32))
+    for b in range(B) if n_inst else []:
+        out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))
+        out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.float32))
 
     from jax.experimental.pallas import tpu as pltpu
 
@@ -625,29 +832,68 @@ def _path_pallas_flat(ps, o, d, seeds, edit_args, t_min, t_max, n_bounces,
         functools.partial(
             _path_kernel, ps=ps, t_min=t_min, t_max=t_max, n_bounces=B,
             unroll=unroll, coarse=coarse, retire_cond=retire_cond,
+            n_inst=n_inst, inst_mat=inst_mat,
         ),
         grid=grid,
-        in_specs=[smem] * len(edit_args) + [spec] * 7,
+        in_specs=(
+            [smem] * len(edit_args) + [smem] * len(inst_args) + [spec] * 7
+        ),
         out_specs=[spec] * n_out,
         out_shape=out_shapes,
         interpret=interpret,
-    )(*edit_args, ox, oy, oz, dx, dy, dz, sd)
+    )(*edit_args, *inst_args, ox, oy, oz, dx, dy, dz, sd)
     return [post(x) for x in outs]
+
+
+def inst_smem_args(inst, tex_ids):
+    """SMEM per-triangle rows for the in-kernel instance pass.
+
+    One (cap*16,) f32 array: [v0(3) | v1(3) | v2(3) | texslot | uv(3x2)]
+    per triangle; invalid (padding) rows are zeroed, which
+    Moller-Trumbore rejects via det == 0. texslot indexes the static
+    per-texture material tables (inst_static's tex-id tuple)."""
+    tri = inst["tri"].astype(jnp.float32)                  # (cap, 3, 3)
+    valid = inst["valid"]
+    ids = jnp.asarray(tex_ids, jnp.int32)
+    slot = jnp.argmax(
+        (inst["t"].astype(jnp.int32)[:, None] == ids[None, :]).astype(jnp.int32),
+        axis=1,
+    ).astype(jnp.float32)
+    row = jnp.concatenate(
+        [
+            tri.reshape(-1, 9),
+            slot[:, None],
+            inst["uv"].astype(jnp.float32).reshape(-1, 6),
+        ],
+        axis=1,
+    )
+    row = jnp.where(valid[:, None], row, 0.0)
+    return (row.reshape(-1),)
 
 
 def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
                       t_min=0.001, t_max=1000.0, pd=None, interpret=False,
-                      unroll=None, hw=None, retire_cond=True):
+                      unroll=None, hw=None, retire_cond=True, inst=None,
+                      inst_static=None):
     """Trace a FULL path (n_bounces bounces) per ray in one kernel.
 
     Preconditions (caller-checked): worldgen scene whose edits are all
-    air-or-opaque-lambert (ps.edits_lambert), no lights, no instances,
-    murmur3 RNG, lambert-only reachable materials.
+    air-or-opaque-lambert (ps.edits_lambert), murmur3 RNG, lambert-only
+    reachable voxel materials. Entity instances are supported in-kernel
+    when every instance texture has CONSTANT metallicity and alpha
+    (scene.set_instances checks): triangles ride in SMEM, each bounce
+    segment runs one Moller-Trumbore pass against them, the march
+    early-exits past the instance hit, and instance-surface scatter
+    (mirror/transmit/lambert on the per-triangle constants) is sampled
+    in-kernel — the reference's TLAS carries entity meshes in the same
+    28-fps kernel (main.rs:86-101, scene.rs:209-386).
 
-    Returns (traces, dirs): traces[b] is a dda.TraceResult for bounce b;
-    dirs[b] (b in 1..n_bounces-1) is the in-kernel-sampled direction the
-    kernel marched for bounce b ((n, 3) float32; zero for rays whose
-    path ended earlier).
+    Returns (traces, dirs, ihits): traces[b] is a dda.TraceResult for
+    bounce b; dirs[b] (b in 1..n_bounces-1) is the in-kernel-sampled
+    direction the kernel marched for bounce b ((n, 3) float32; zero for
+    rays whose path ended earlier); ihits[b] is an
+    ops.instances.InstanceHit (None when inst is None) recording where
+    the instance won the bounce.
     """
     from vrv_tpu.ops.dda import TraceResult
     from vrv_tpu.ops.dda_proc import _hit_blocks, assemble
@@ -664,12 +910,24 @@ def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
     B = int(n_bounces)
     import vrv_tpu.ops.pallas.trace_proc as _tp
 
+    n_inst = 0
+    inst_args = ()
+    inst_mat = None
+    if inst is not None:
+        if inst_static is None:
+            raise ValueError(
+                "in-kernel instances need inst_static (tex ids + constant "
+                "material tables from scene.set_instances)")
+        n_inst = int(inst["tri"].shape[0])
+        inst_args = inst_smem_args(inst, inst_static[0])
+        inst_mat = (inst_static[1], inst_static[2])
     outs = _path_pallas_flat(
         ps, o, d, sd, edit_smem_args(ps, pd), float(t_min), float(t_max), B,
         interpret=interpret or _tp.INTERPRET,
         unroll=UNROLL if unroll is None else unroll,
         coarse=(ps.coarse_const or None) if ps.use_coarse else None,
         hw=hw, retire_cond=retire_cond,
+        inst_args=inst_args, n_inst=n_inst, inst_mat=inst_mat,
     )
     pw = assemble(ps, pd)
     traces = []
@@ -697,4 +955,21 @@ def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
     for b in range(B - 1):
         dirs.append(jnp.stack(outs[k:k + 3], axis=-1).reshape(shape + (3,)))
         k += 3
-    return traces, dirs
+    ihits = None
+    if n_inst:
+        from vrv_tpu.ops.instances import InstanceHit
+
+        ihits = []
+        for b in range(B):
+            prim = outs[k].reshape(shape)
+            iu = outs[k + 1].reshape(shape)
+            iv = outs[k + 2].reshape(shape)
+            k += 3
+            won = prim >= 0
+            ihits.append(InstanceHit(
+                hit=won,
+                t=jnp.where(won, traces[b].t, 0.0),
+                prim=jnp.maximum(prim, 0),
+                bary=jnp.stack([iu, iv], axis=-1),
+            ))
+    return traces, dirs, ihits

@@ -46,6 +46,7 @@ def render_frame_sharded(
     cfg: RenderConfig,
     proc_static=None,
     light_tex_set=None,
+    inst_static=None,
 ) -> jax.Array:
     """(H, W, 4) u8 frame computed across the mesh."""
     n_samples_shards = mesh.shape["samples"]
@@ -67,6 +68,7 @@ def render_frame_sharded(
             y0=r_idx * local_h, local_height=local_h,
             s0=s_idx * local_spp, local_spp=local_spp,
             proc_static=proc_static, proc=proc, light_tex_set=light_tex_set,
+            inst_static=inst_static,
         )  # (local_spp, local_h, W, 3)
         partial_sum = samples.sum(axis=0)
         total = jax.lax.psum(partial_sum, axis_name="samples")
@@ -88,14 +90,15 @@ def render_frame_sharded(
 
 @functools.lru_cache(maxsize=16)
 def jit_render_sharded(mesh: Mesh, cfg: RenderConfig, bvh_max_depth: int,
-                       has_lights: bool, proc_static=None, light_tex_set=None):
+                       has_lights: bool, proc_static=None, light_tex_set=None,
+                       inst_static=None):
     def fn(grid, translucent, materials, bvh, dist, inst, rows, proc,
            eye, front, right, up, frame):
         return render_frame_sharded(
             mesh, grid, translucent, materials,
             bvh if has_lights else None, bvh_max_depth, dist, inst, rows, proc,
             eye, front, right, up, frame, cfg, proc_static=proc_static,
-            light_tex_set=light_tex_set,
+            light_tex_set=light_tex_set, inst_static=inst_static,
         )
 
     return jax.jit(fn)

@@ -53,6 +53,7 @@ def render_samples(
     proc_static=None,
     proc=None,
     light_tex_set=None,
+    inst_static=None,
 ) -> jax.Array:
     """Render linear radiance per sample: (spp, H, W, 3) float32.
 
@@ -78,10 +79,19 @@ def render_samples(
         )
     )
     nee_active = bvh is not None and cfg.enable_nee
+    # entity instances stay kernel-resident when every instance texture
+    # has constant metallicity/alpha (inst_static carries the static
+    # texture-id tuple; scene.set_instances verified the constancy) —
+    # triangles ride into the fused kernel via SMEM, so the ego cube no
+    # longer evicts the fast path (VERDICT r2 item 2; the reference's
+    # TLAS carries entity meshes in the same kernel, scene.rs:209-386)
+    inst_in_kernel = (
+        inst is not None and inst_static is not None and cfg.pallas_inst
+    )
     fused_candidate = (
         use_pallas
         and cfg.pallas_fused
-        and inst is None
+        and (inst is None or inst_in_kernel)
         and cfg.debug_view == "none"
         and cfg.rng == "murmur3"
         and proc_static is not None
@@ -152,7 +162,7 @@ def render_samples(
     # replays shading over the recorded per-bounce hits, consuming the
     # kernel's sampled directions so the path chain is exactly what the
     # kernel marched.
-    fused_traces = fused_dirs = None
+    fused_traces = fused_dirs = fused_ihits = None
     fused_pad = None   # (Rp, Wp) when shading runs on the padded layout
     if fused_eligible:
         from vrv_tpu.ops.pallas.path_proc import trace_path_pallas
@@ -186,13 +196,15 @@ def render_samples(
             # in-kernel skip certificates OFF here: measured a net loss in
             # the fused kernel (285 vs 303 ms/frame — bounce rays rarely
             # clear the certificates, so the per-step tree cost dominates)
-            fused_traces, fused_dirs = trace_path_pallas(
+            fused_traces, fused_dirs, fused_ihits = trace_path_pallas(
                 proc_static._replace(use_coarse=False), o, d, seeds,
                 cfg.max_bounces,
                 t_min=cfg.t_min, t_max=cfg.t_max, pd=proc,
                 unroll=cfg.pallas_unroll or None,
                 hw=hw,
                 retire_cond=cfg.pallas_retire_cond,
+                inst=inst if inst_in_kernel else None,
+                inst_static=inst_static if inst_in_kernel else None,
             )
         n = o.shape[0]
 
@@ -272,7 +284,11 @@ def render_samples(
                 tr = tr._replace(t=jnp.where(tr.hit, t_rec, tr.t + adv))
         bounce_seed = rng.murmur3_combine(seeds, jnp.uint32(bounce))
         inst_hit = None
-        if inst is not None:
+        if fused_ihits is not None:
+            # the kernel already resolved instance-vs-voxel per bounce and
+            # marched the matching continuation; replay its records
+            inst_hit = fused_ihits[bounce]
+        elif inst is not None:
             from vrv_tpu.ops.instances import trace_instances
 
             with jax.named_scope(f"instances_b{bounce}"):
@@ -288,9 +304,12 @@ def render_samples(
                 if proc_static.n_edits:
                     # edited cells can carry any opaque-lambert block
                     blocks |= set(proc_static.lambert_blocks)
-                tex_set = tuple(
+                tex_ids = {
                     b * 6 + f for b in sorted(blocks) for f in range(6)
-                )
+                }
+                if inst_in_kernel:
+                    tex_ids |= set(inst_static[0])
+                tex_set = tuple(sorted(tex_ids))
             # split mode truncates NEE at the last bounce: its direct term
             # stands in for the emission the chain would collect one bounce
             # later, and the reference's loop ends here — keeping it would
@@ -333,6 +352,90 @@ def render_samples(
                 a <= 0.0031308, a * 12.92, 1.055 * a ** (1.0 / 2.4) - 0.055
             )
             return srgb.reshape(S, H, W, 3)
+        if cfg.debug_view in ("prim", "steps", "bvhdepth") and bounce == 0:
+            # debugPrim/debugBvh-style colorizers (pathtrace_shader.rs:
+            # 583-599) + a march-cost heatmap for divergence work
+            if cfg.debug_view == "prim":
+                # hash the primitive identity to rgb: voxel face material
+                # slot, or instance prim offset past the voxel id space
+                pid = tr.block.astype(jnp.int32) * 6 + tr.face
+                if inst_hit is not None:
+                    use_i = inst_hit.hit & (~tr.hit | (inst_hit.t < tr.t))
+                    pid = jnp.where(use_i, (1 << 16) + inst_hit.prim, pid)
+                hseed = rng.murmur3_combine(
+                    pid.astype(jnp.uint32), jnp.uint32(0x9E3779B9)
+                )
+                rgb = jnp.stack(
+                    [
+                        rng.murmur3_finalizef(
+                            rng.murmur3_combine(hseed, jnp.uint32(c))
+                        )
+                        for c in range(3)
+                    ],
+                    axis=-1,
+                )
+                any_hit0 = tr.hit if inst_hit is None else (
+                    tr.hit | inst_hit.hit
+                )
+                dbg = jnp.where(any_hit0[:, None], rgb, 0.0)
+            elif cfg.debug_view == "steps":
+                # cell-crossing count from the (grid-clamped) origin to
+                # the hit / grid exit — the geometric march cost a DDA
+                # pays before skips; tails in this map are the
+                # silhouette/grazing rays that bound fused-block cost
+                size = jnp.asarray(grid.shape, jnp.float32)
+                safe_d = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+                t0s = (0.0 - o) / safe_d
+                t1s = (size[None, :] - o) / safe_d
+                t_exit = jnp.minimum(
+                    jnp.maximum(t0s, t1s).min(-1), jnp.float32(cfg.t_max)
+                )
+                t_end = jnp.where(tr.hit, tr.t, jnp.maximum(t_exit, 0.0))
+                p0 = jnp.clip(o, 0.0, size[None, :] - 1e-3)
+                p1 = jnp.clip(
+                    o + t_end[:, None] * d, 0.0, size[None, :] - 1e-3
+                )
+                steps = jnp.abs(
+                    jnp.floor(p1) - jnp.floor(p0)
+                ).sum(-1)
+                x = jnp.clip(steps / jnp.float32(grid.shape[0]), 0.0, 1.0)
+                # blue -> green -> red ramp
+                dbg = jnp.stack(
+                    [
+                        jnp.clip(2.0 * x - 1.0, 0.0, 1.0),
+                        1.0 - jnp.abs(2.0 * x - 1.0),
+                        jnp.clip(1.0 - 2.0 * x, 0.0, 1.0),
+                    ],
+                    axis=-1,
+                )
+            else:  # bvhdepth
+                if bvh is None:
+                    dbg = jnp.zeros((n, 3), jnp.float32)
+                else:
+                    from vrv_tpu.ops.nee import traverse as _nee_traverse
+
+                    fn0 = (tr.face[:, None] == jnp.arange(6)[None, :]).astype(
+                        jnp.float32
+                    )
+                    nrm = jnp.dot(
+                        fn0, jnp.asarray(dda.FACE_NORMALS),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    res = _nee_traverse(
+                        br.new_origin, nrm,
+                        rng.murmur3_combine(bounce_seed, 2), bvh,
+                        bvh_max_depth,
+                    )
+                    x = res.depth.astype(jnp.float32) / jnp.float32(
+                        max(1, bvh_max_depth)
+                    )
+                    dbg = jnp.where(
+                        (tr.hit & res.success)[:, None],
+                        jnp.stack([x, 1.0 - x, 0.5 * x], axis=-1),
+                        0.0,
+                    )
+            return dbg.reshape(S, H, W, 3)
         color = color + jnp.where(alive[:, None], throughput * br.emissivity, 0.0)
         throughput = jnp.where(alive[:, None], throughput * br.reflectivity, 0.0)
         alive = alive & ~br.miss
@@ -362,6 +465,17 @@ def render_samples(
             # t == dist up to fp error)
             eps = 1e-3 + 1e-3 * dist_cat
             vis = (~sh.hit) | (sh.t >= dist_cat - eps)
+            if inst is not None:
+                # entity instances occlude shadow rays too (the reference's
+                # redirected NEE ray traverses the full TLAS incl. entity
+                # BLASes, pathtrace_shader.rs:652-686)
+                from vrv_tpu.ops.instances import trace_instances
+
+                ish = trace_instances(
+                    so_cat, sd_cat, inst["tri"], inst["valid"],
+                    t_min=cfg.t_min, t_max=cfg.t_max,
+                )
+                vis = vis & ~(ish.hit & (ish.t < dist_cat - eps))
         with jax.named_scope("nee_direct_accum"):
             vis3 = vis.astype(jnp.float32)[:, None]
             for b in range(b_s):
@@ -388,12 +502,13 @@ def pack_bgra(pixel_color: jax.Array) -> jax.Array:
 def render_frame(
     grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows,
     eye, front, right, up, frame, cfg: RenderConfig,
-    proc_static=None, proc=None, light_tex_set=None,
+    proc_static=None, proc=None, light_tex_set=None, inst_static=None,
 ) -> jax.Array:
     """Full frame: average samples, pack BGRA u8 (H, W, 4)."""
     samples = render_samples(
         grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows,
         eye, front, right, up, frame, cfg,
         proc_static=proc_static, proc=proc, light_tex_set=light_tex_set,
+        inst_static=inst_static,
     )
     return pack_bgra(samples.mean(axis=0))

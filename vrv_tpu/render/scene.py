@@ -117,6 +117,7 @@ class Scene:
         self._rebuild_dist()
         self._sync_proc()
         self.instances_device: Optional[dict] = None
+        self.inst_static = None  # static tex-id tuple when kernel-eligible
         self.tlas_rebuilds = 0  # observability: analog of TLAS dirty rebuilds
 
     def set_instances(self, meshes) -> None:
@@ -134,6 +135,7 @@ class Scene:
             uvs.append(np.asarray(mesh["uv"], np.float32).reshape(-1, 3, 2))
         if not tris:
             self.instances_device = None
+            self.inst_static = None
             self._set_instance_lights(
                 np.zeros((0, 3, 3), np.float32), np.zeros((0,), np.float32),
                 np.zeros((0, 3, 2), np.float32), np.zeros((0,), np.int32),
@@ -142,6 +144,42 @@ class Scene:
         tri = np.concatenate(tris)
         t = np.concatenate(ts)
         uv = np.concatenate(uvs)
+        # fused-kernel eligibility: the in-kernel scatter branch reads
+        # per-TEXTURE constant metallicity plus a per-texel alpha table
+        # baked as compile-time kernel constants (a runtime texel gather
+        # inside the kernel is banned; constants ride a select tree like
+        # the coarse-skip words). Alpha bytes reconstruct the atlas f32
+        # exactly (byte/255 in f32 both here and at asset load). Any
+        # texel-VARYING metallicity texture evicts instances to the
+        # staged kernels (none exists in the shipped assets — the ego
+        # cube's glass faces vary only in alpha).
+        tex_ids = sorted({int(x) for x in t})
+        kernel_ok = True
+        alpha_tables = []
+        metal_vals = []
+        n_tex = len(self.table.texture_luminances)
+        for ti in tex_ids:
+            if ti < 0 or ti >= n_tex:
+                kernel_ok = False
+                break
+            m = self.table.metallicity[ti]
+            if float(m.max()) != float(m.min()):
+                kernel_ok = False
+                break
+            metal_vals.append(float(m.flat[0]))
+            ab = np.round(
+                self.table.reflectivity[ti][..., 3].astype(np.float64) * 255.0
+            ).astype(np.uint32).ravel()  # (256,) ty-major like _fetch_atlas
+            words = tuple(
+                int(ab[4 * w] | (ab[4 * w + 1] << 8)
+                    | (ab[4 * w + 2] << 16) | (ab[4 * w + 3] << 24))
+                for w in range(64)
+            )
+            alpha_tables.append(words)
+        self.inst_static = (
+            (tuple(tex_ids), tuple(alpha_tables), tuple(metal_vals))
+            if kernel_ok else None
+        )
         # emissive-instance lights (scene.rs:433-445): a triangle whose
         # texture has positive mean emissive power is an NEE light; the
         # luminance-per-area comes from the texture mean (utils.rs:223-235)
@@ -462,7 +500,7 @@ class Scene:
         """One frame -> (H, W, 4) u8 BGRA on device."""
         ps, pa = self._proc_for(cfg)
         fn = _jit_render(cfg, self.bvh_max_depth, self.bvh_device is not None, ps,
-                         self.light_tex_set)
+                         self.light_tex_set, self.inst_static)
         return fn(
             self.grid,
             self.translucent,
@@ -482,7 +520,7 @@ class Scene:
     def render_samples(self, eye, front, right, up, frame: int, cfg: RenderConfig) -> jax.Array:
         ps, pa = self._proc_for(cfg)
         fn = _jit_render_samples(cfg, self.bvh_max_depth, self.bvh_device is not None,
-                                 ps, self.light_tex_set)
+                                 ps, self.light_tex_set, self.inst_static)
         return fn(
             self.grid,
             self.translucent,
@@ -517,7 +555,7 @@ def _rng_mode(mode: str):
 
 @functools.lru_cache(maxsize=64)
 def _jit_render(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool,
-                proc_static=None, light_tex_set=None):
+                proc_static=None, light_tex_set=None, inst_static=None):
     def fn(grid, translucent, materials, bvh, dist, inst, rows, proc,
            eye, front, right, up, frame):
         with _rng_mode(cfg.rng):
@@ -538,6 +576,7 @@ def _jit_render(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool,
             grid, translucent, materials, bvh if has_lights else None,
             bvh_max_depth, dist, inst, rows, eye, front, right, up, frame, cfg,
             proc_static=proc_static, proc=proc, light_tex_set=light_tex_set,
+            inst_static=inst_static,
         )
 
     return jax.jit(fn)
@@ -545,7 +584,7 @@ def _jit_render(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool,
 
 @functools.lru_cache(maxsize=64)
 def _jit_render_samples(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool,
-                        proc_static=None, light_tex_set=None):
+                        proc_static=None, light_tex_set=None, inst_static=None):
     def fn(grid, translucent, materials, bvh, dist, inst, rows, proc,
            eye, front, right, up, frame):
         with _rng_mode(cfg.rng):
@@ -553,6 +592,7 @@ def _jit_render_samples(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool,
                 grid, translucent, materials, bvh if has_lights else None,
                 bvh_max_depth, dist, inst, rows, eye, front, right, up, frame, cfg,
                 proc_static=proc_static, proc=proc, light_tex_set=light_tex_set,
+                inst_static=inst_static,
             )
 
     return jax.jit(fn)
