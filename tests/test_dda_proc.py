@@ -185,7 +185,7 @@ def test_scene_proc_bundle_and_frame_identity(block_table):
     sc = Scene(wc)
     assert sc.proc_static is not None and sc.proc_static.n_edits == 0
     assert sc.set_block((0, 5, 0), block_table.block_idx("lamp"))
-    assert sc.proc_static.n_edits == 16  # pow2 bucket
+    assert sc.proc_static.n_edits == 4  # pow2 bucket (min 4)
 
     eye = np.array([4.0, 18.0, -16.0])
     front = np.array([0.0, -0.5, 0.866], np.float32)

@@ -1,4 +1,10 @@
-"""Wavefront mode: byte-identical to megakernel mode for the same seeds."""
+"""Wavefront modes.
+
+'wavefront_compact' (the literal per-bounce + ray-queue formulation) must
+stay byte-identical to megakernel mode; 'wavefront' (the fused-kernel
+formulation) must be bit-identical to megakernel by construction and
+report the same occupancy telemetry the compact pipeline derives from
+its queues."""
 
 import numpy as np
 import pytest
@@ -26,7 +32,7 @@ def test_wavefront_matches_megakernel(block_table):
     # tests/test_beam.py); the mode-equivalence property is gated beam-off
     mega = RenderConfig(width=16, height=8, samples_per_pixel=2, max_bounces=3,
                         beam_prepass=False)
-    wave = mega.replace(mode="wavefront")
+    wave = mega.replace(mode="wavefront_compact")
     img_m = np.asarray(sc.render(eye, front, right, up, 7, mega))
     img_w = np.asarray(sc.render(eye, front, right, up, 7, wave))
     # identical RNG and identical accumulation; scatter-add order may skew
@@ -34,6 +40,12 @@ def test_wavefront_matches_megakernel(block_table):
     diff = np.abs(img_m.astype(int) - img_w.astype(int))
     assert diff.max() <= 1
     assert (diff == 0).mean() > 0.98
+    # the fused-kernel wavefront rides the megakernel dispatch: identical
+    # bytes by construction
+    img_f = np.asarray(
+        sc.render(eye, front, right, up, 7, mega.replace(mode="wavefront"))
+    )
+    assert (img_f == img_m).all()
 
 
 def test_wavefront_occupancy_reporting(block_table):
@@ -63,3 +75,18 @@ def test_wavefront_occupancy_reporting(block_table):
     assert occ[1] <= occ[0]            # monotone decay as rays terminate
     assert occ[2] <= occ[1]
     assert fb.shape == (8, 16, 3)
+
+    # the fused-kernel formulation reports the same counts (recorded
+    # alive masks instead of queue lengths) and the same radiance
+    from vrv_tpu.render.wavefront import render_samples_wavefront_fused
+
+    fb2, occ2 = render_samples_wavefront_fused(
+        sc.grid, sc.translucent, sc.materials, None, 0, sc.dist, None, sc.rows,
+        sc.camera_to_local(np.array([8.0, 8.0, 8.0])),
+        jnp.asarray([0.0, -1.0, 0.0], jnp.float32),
+        jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+        jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+        jnp.uint32(0), cfg, with_occupancy=True,
+    )
+    assert (np.asarray(occ2) == occ).all()
+    np.testing.assert_allclose(np.asarray(fb2), np.asarray(fb), atol=1e-5)

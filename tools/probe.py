@@ -123,6 +123,11 @@ def cmd_frame(args):
                 (int(m[1:]) for m in mods if m.startswith("u") and m[1:].isdigit()),
                 0,
             ),
+            pallas_step_cap=next(
+                (int(m[2:]) for m in mods
+                 if m.startswith("sc") and m[2:].isdigit()),
+                0,
+            ),
         )
 
         def frame(f=0, cfg=cfg, n_chunks=n_chunks):
@@ -373,12 +378,73 @@ def cmd_editlat(args):
         print(f"  {name}: {statistics.median(ts) * 1e3:8.1f} ms/edit", flush=True)
 
 
+def cmd_entry(args):
+    """Decompose the entry-scene (lamp + edit + ego cube) frame cost.
+
+    Interleaved in ONE process (the only trustworthy comparison on the
+    tunneled v5e): pristine fused floor, entry full, and the entry scene
+    with NEE / instances / both removed — differences isolate the cost
+    of split-NEE, the in-kernel instance pass, and the SMEM edit list.
+    """
+    _init_jax()
+    from vrv_tpu.config import RenderConfig
+    from vrv_tpu.render.megakernel import pack_bgra
+
+    cfg = RenderConfig(
+        width=args.width, height=args.height, samples_per_pixel=1,
+        max_bounces=args.bounces,
+    )
+    import __graft_entry__ as ge
+
+    entry_scene, cam_e = ge._scene_args(args.grid, cfg)
+    cam_e = (cam_e[0],) + tuple(np.asarray(c, np.float32) for c in cam_e[1:])
+    # same world minus the ego cube (isolates the in-kernel instance pass)
+    noinst_scene, _ = ge._scene_args(args.grid, cfg)
+    noinst_scene.set_instances([])
+    pristine_scene, cam_p = _bench_scene(args.grid)
+
+    chunks = args.spp
+    fns = {}
+
+    def make(scene, cam, cfg):
+        def frame(f=0):
+            acc = None
+            for c in range(chunks):
+                smp = scene.render_samples(*cam, f * chunks + c, cfg).sum(axis=0)
+                acc = smp if acc is None else acc + smp
+            return pack_bgra(acc / chunks)
+
+        return frame
+
+    variants = {
+        "pristine": (pristine_scene, cam_p, cfg),
+        "entry_full": (entry_scene, cam_e, cfg),
+        "entry_nonee": (entry_scene, cam_e, cfg.replace(enable_nee=False)),
+        "entry_noinst": (noinst_scene, cam_e, cfg),
+        "entry_noinst_nonee": (
+            noinst_scene, cam_e, cfg.replace(enable_nee=False)
+        ),
+    }
+    only = args.tracers if args.tracers != "rows,proc" else ""
+    for name, (scene, cam, c) in variants.items():
+        if only and name not in only.split(","):
+            continue
+        fns[name] = make(scene, cam, c)
+        t0 = time.perf_counter()
+        np.asarray(fns[name]())
+        print(f"  {name}: compile+first {time.perf_counter() - t0:6.1f}s",
+              flush=True)
+    for k, dt in _median_time(fns, n=args.reps).items():
+        print(f"  {k}: {dt * 1e3:8.1f} ms/frame = {1 / dt:5.2f} fps", flush=True)
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in (
         ("frame", cmd_frame), ("trace", cmd_trace), ("gather", cmd_gather),
         ("noise", cmd_noise), ("edits", cmd_edits), ("editlat", cmd_editlat),
+        ("entry", cmd_entry),
     ):
         sp = sub.add_parser(name)
         sp.set_defaults(fn=fn)

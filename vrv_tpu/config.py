@@ -100,6 +100,11 @@ class RenderConfig:
     # local -> per-block early exit fires together) instead of flat
     # row-major strips. Identical results; A/B knob.
     pallas_tile2d: bool = True
+    # fused path kernel tail restart: pass 1 stops after ~this many march
+    # steps; a second launch re-traces only the unfinished lanes (their
+    # blocks) with the full budget. Bit-identical (deterministic per-lane
+    # re-trace). 0 = single uncapped pass.
+    pallas_step_cap: int = 0
     # conservative per-tile cone march that advances primary rays through
     # proven-empty space before the real trace (ops/dda.beam_march,
     # ~15% frame time on v5e). Never skips a hit; may flip rays passing
@@ -107,9 +112,12 @@ class RenderConfig:
     # resolution, so bit-identity gates run with this off
     beam_prepass: bool = True
     # 'megakernel' = fused lax.scan over bounces (parity-first, reference-shaped);
-    # 'wavefront'  = per-bounce Pallas kernels with ray compaction (perf-first,
-    # the formulation the reference found faster on its wavefront branch,
-    # reference README.md:31).
+    # 'wavefront'  = the fused-kernel wavefront: per-ray bounce progression
+    # inside the Pallas core (zero scatter) + per-bounce occupancy telemetry
+    # from the recorded alive masks — the TPU-native form of the structure
+    # the reference found faster on its wavefront branch (README.md:31);
+    # 'wavefront_compact' = the literal per-bounce dispatch + ray-queue
+    # compaction formulation (telemetry/debug; scatter-floor-bound on TPU).
     mode: str = "megakernel"
     # Accumulate frames progressively (the capability the reference's
     # postprocess_shader.rs stub reserved space for; the shipped branch
@@ -179,7 +187,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--bounces", type=int, default=4)
     p.add_argument("--grid", type=int, default=128, help="cubic grid side")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--mode", choices=["megakernel", "wavefront"], default="megakernel")
+    p.add_argument("--mode",
+                   choices=["megakernel", "wavefront", "wavefront_compact"],
+                   default="megakernel")
     p.add_argument("--tracer", choices=["proc", "rows", "skip", "exact"], default="proc")
     p.add_argument("--no-beam", action="store_true",
                    help="disable the primary-ray beam pre-pass (debugging)")

@@ -86,6 +86,13 @@ class ProcStatic(NamedTuple):
     # extends the fused path's one-hot texel set beyond grass/stone
     # (render/megakernel.py tex_set).
     lambert_blocks: tuple = ()
+    # Smallest cell y such that every PRISTINE-worldgen cell with
+    # cy >= y_air is air (from the cached pristine grid; -1 = unknown).
+    # Solid edits extend the bound at runtime inside the Pallas kernels
+    # (from their SMEM keys), giving an upward-exit certificate: a
+    # marching ray in air with dy >= 0 at/above the bound can retire as
+    # a miss immediately — bit-identical to marching to the grid exit.
+    y_air: int = -1
 
 
 class ProcWorld(NamedTuple):

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from vrv_tpu.ops import rng
 from vrv_tpu.ops.intersect import (
+    EPSILON_BLOCK,
     rect_is_visible,
     split_into_visible_triangles,
     triangle_center,
@@ -213,15 +214,27 @@ def traverse(point, normal, seed, bvh, max_depth: int) -> TraverseResult:
     if packed is None:
         packed = pack_nodes(bvh)
 
+    # carry only per-lane SCALARS across levels (index, leaf flag, child
+    # indices); the earlier formulation carried the full (n, 32) node row
+    # through two wheres per level — ~70 ms/frame of pure row shuffling
+    # at the headline shape. The chosen leaf's row is re-fetched once at
+    # the end (one one-hot matmul).
     cur = jnp.zeros(n, jnp.int32)
-    cur_row = jnp.broadcast_to(packed[0], (n, packed.shape[1]))
     prob = jnp.ones(n, jnp.float32)
 
-    root_leaf = cur_row[:, 0] > 0.5
+    root_leaf = jnp.broadcast_to(packed[0, 0] > 0.5, (n,))
+    cur_li = jnp.broadcast_to(packed[0, 1].astype(jnp.int32), (n,))
+    cur_ri = jnp.broadcast_to(packed[0, 2].astype(jnp.int32), (n,))
     # single-light tree: importance evaluated on the root leaf itself,
     # mirroring the reference's "if importance == 0: importance =
     # nodeImportance(root)" on the instance hop (:537-539)
-    imp = jnp.where(root_leaf, node_importance_row(point, normal, cur_row), 0.0)
+    imp = jnp.where(
+        root_leaf,
+        node_importance_row(
+            point, normal, jnp.broadcast_to(packed[0], (n, packed.shape[1]))
+        ),
+        0.0,
+    )
     done = root_leaf
     success = done
     failed = jnp.zeros(n, bool)
@@ -230,8 +243,7 @@ def traverse(point, normal, seed, bvh, max_depth: int) -> TraverseResult:
 
     for _ in range(max_depth):
         active = ~done & ~failed
-        li = cur_row[:, 1].astype(jnp.int32)
-        ri = cur_row[:, 2].astype(jnp.int32)
+        li, ri = cur_li, cur_ri
         row_l = _gather(packed, li)
         row_r = _gather(packed, ri)
         imp_l = node_importance_row(point, normal, row_l)
@@ -244,7 +256,9 @@ def traverse(point, normal, seed, bvh, max_depth: int) -> TraverseResult:
         go_left = r < ln
 
         new_cur = jnp.where(go_left, li, ri)
-        new_row = jnp.where(go_left[:, None], row_l, row_r)
+        new_leaf = jnp.where(go_left, row_l[:, 0], row_r[:, 0]) > 0.5
+        new_li = jnp.where(go_left, row_l[:, 1], row_r[:, 1]).astype(jnp.int32)
+        new_ri = jnp.where(go_left, row_l[:, 2], row_r[:, 2]).astype(jnp.int32)
         new_prob = prob * jnp.where(go_left, ln, 1.0 - ln)
         new_imp = jnp.where(go_left, imp_l, imp_r)
 
@@ -252,13 +266,13 @@ def traverse(point, normal, seed, bvh, max_depth: int) -> TraverseResult:
         step = active & ~zero_total
         depth = depth + step.astype(jnp.int32)
         cur = jnp.where(step, new_cur, cur)
-        cur_row = jnp.where(step[:, None], new_row, cur_row)
+        cur_li = jnp.where(step, new_li, cur_li)
+        cur_ri = jnp.where(step, new_ri, cur_ri)
         prob = jnp.where(step, new_prob, prob)
         imp = jnp.where(step, new_imp, imp)
         failed = failed | newly_failed
 
-        at_leaf = cur_row[:, 0] > 0.5
-        newly_done = step & at_leaf
+        newly_done = step & new_leaf
         success = success | newly_done
         done = done | newly_done
 
@@ -267,7 +281,7 @@ def traverse(point, normal, seed, bvh, max_depth: int) -> TraverseResult:
         leaf_idx=cur,
         probability=prob,
         importance=jnp.where(failed, 0.0, imp),
-        tri=_row_tri(cur_row),
+        tri=_row_tri(_gather(packed, cur)),
         depth=depth,
     )
 
@@ -285,6 +299,120 @@ class LightSample(NamedTuple):
     tex: jax.Array        # (n,) i32 leaf texture id
     inv_pdf_area: jax.Array  # (n,) f32 A_visible / P(leaf): 1 / area-pdf
     valid: jax.Array      # (n,) bool — sample usable (w>0, facing, nonzero area)
+
+
+def sample_light_flat(point, normal, seed, flat,
+                      importance_scale: float = 10.0, mis_clamp: float = 0.5
+                      ) -> LightSample:
+    """Flat-list light sampling for small light sets (<= ~64 triangles).
+
+    TPU-first redesign of the stochastic BVH descent for the scale the
+    game actually plays at (a handful of placed lamps + emissive entity
+    faces): brute-force the importance of EVERY light triangle — no
+    per-level node fetches, no hemisphere clipping — and pick one with
+    exact importance-proportional probability. The same brute-force-over-
+    tree trade as ops/instances vs the reference's TLAS. The direct-term
+    pdf is importance_j/W x 1/area_j (full-triangle uniform point).
+
+    Estimator notes: importance_j = power_j * eps_visible_j / dist_c^2 is
+    strictly positive for every light whose contribution can be nonzero
+    (the epsilon-visibility zero mirrors the BVH leaf rule: a triangle
+    entirely below the hemisphere plane + EPSILON_BLOCK contributes 0),
+    so the estimator stays unbiased; sampling the full triangle instead
+    of the clipped visible part only adds variance for horizon-straddling
+    lights (statistically gated vs the BVH path in tests/test_nee_flat.py).
+    Draw slots 7/8/9 (selection, point u, point v) mirror sample_light's.
+
+    The >cap fallback (and the mixture mode) remain on the BVH descent —
+    the scale boundary is documented in docs/PERF.md.
+    """
+    tri = flat["tri"]            # (L, 3, 3) padded; pad rows power == 0
+    power = flat["power"]        # (L,) luminance-per-area x full area
+    area = flat["area"]          # (L,)
+    uv3 = flat["uv"]             # (L, 3, 2)
+    tex = flat["tex"]            # (L,) int32
+    L = tri.shape[0]
+    n = point.shape[0]
+    f32 = jnp.float32
+
+    v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
+    ctr = (v0 + v1 + v2) / 3.0
+    # epsilon-visibility: any vertex above the hemisphere plane
+    pn = normal[:, None, :]
+    vis = (
+        (_dot(v0[None] - point[:, None], pn) >= EPSILON_BLOCK)
+        | (_dot(v1[None] - point[:, None], pn) >= EPSILON_BLOCK)
+        | (_dot(v2[None] - point[:, None], pn) >= EPSILON_BLOCK)
+    )                                                   # (n, L)
+    dc = ctr[None] - point[:, None]                     # (n, L, 3)
+    d2c = _dot(dc, dc)
+    imp = jnp.where(vis, power[None] / jnp.maximum(d2c, 1e-30), 0.0)
+
+    cum = jnp.cumsum(imp, axis=1)
+    W = cum[:, -1]                                      # == selection total
+    r = rng.draw(seed, 7) * W
+    prev = jnp.concatenate(
+        [jnp.zeros((n, 1), f32), cum[:, :-1]], axis=1
+    )
+    sel = (cum > r[:, None]) & (prev <= r[:, None])     # exclusive one-hot
+    # chosen-light features via one one-hot MXU matmul (no row gathers)
+    feats = jnp.concatenate(
+        [
+            tri.reshape(L, 9),
+            uv3.reshape(L, 6),
+            tex.astype(f32)[:, None],
+            area[:, None],
+        ],
+        axis=1,
+    )                                                   # (L, 17)
+    chosen = jnp.dot(
+        sel.astype(f32), feats,
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    cv0 = chosen[:, 0:3]
+    cv1 = chosen[:, 3:6]
+    cv2 = chosen[:, 6:9]
+    cuv = chosen[:, 9:15].reshape(-1, 3, 2)
+    ctex = jnp.round(chosen[:, 15]).astype(jnp.int32)
+    carea = chosen[:, 16]
+    imp_c = jnp.where(sel, imp, 0.0).sum(axis=1)
+
+    # uniform point on the full triangle (sqrt warp)
+    su = jnp.sqrt(rng.draw(seed, 8))
+    rb = rng.draw(seed, 9)
+    b0 = (1.0 - su)[:, None]
+    b1 = (su * (1.0 - rb))[:, None]
+    b2 = (su * rb)[:, None]
+    y = b0 * cv0 + b1 * cv1 + b2 * cv2
+    uv_y = b0 * cuv[:, 0] + b1 * cuv[:, 1] + b2 * cuv[:, 2]
+
+    to = y - point
+    dist = jnp.sqrt(_dot(to, to))
+    sdir = to / jnp.maximum(dist, 1e-30)[:, None]
+    e1 = cv1 - cv0
+    e2 = cv2 - cv0
+    nrm = _cross(e1, e2)
+    nrm = nrm / jnp.maximum(jnp.sqrt(_dot(nrm, nrm)), 1e-30)[:, None]
+    cos_l = -_dot(sdir, nrm)
+
+    w = jnp.clip(imp_c / importance_scale, 0.0, mis_clamp)
+    # 1/pdf of the point = area / P(choose this light)
+    inv_pdf = carea * W / jnp.maximum(imp_c, 1e-30)
+    valid = (imp_c > 0.0) & (w > 0.0) & (cos_l > 0.0) & (dist > 1e-6) & (
+        carea > 0.0
+    )
+    return LightSample(
+        w=jnp.where(valid, w, 0.0),
+        point=y,
+        dir=sdir,
+        dist=dist,
+        cos_light=cos_l,
+        uv=uv_y,
+        tex=ctex,
+        inv_pdf_area=inv_pdf,
+        valid=valid,
+    )
 
 
 def sample_light(point, normal, seed, bvh, max_depth: int,

@@ -110,7 +110,7 @@ def _combine(h, k):
 def _path_kernel(
     *refs,
     ps, t_min, t_max, n_bounces, unroll, coarse, retire_cond=True, n_inst=0,
-    inst_mat=None,
+    inst_mat=None, step_cap=0, has_done=False,
 ):
     f32 = jnp.float32
     i32 = jnp.int32
@@ -142,9 +142,34 @@ def _path_kernel(
         ]
         inst_alpha_words, inst_metal = inst_mat
     (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-     seed_ref), out_refs = refs[k:k + 7], refs[k + 7:]
+     seed_ref), rest = refs[k:k + 7], refs[k + 7:]
+    if has_done:
+        # tail-restart pass 2: lanes already resolved by the capped pass 1
+        # start at pbounce = B, so all-done blocks exit before their first
+        # chunk (the while cond is false at entry)
+        done_ref, out_refs = rest[0], rest[1:]
+    else:
+        out_refs = rest
 
     seed0 = seed_ref[:]
+
+    # upward-exit certificate bound (ProcStatic.y_air): every cell with
+    # cy >= y_cut is air — worldgen bound from the pristine grid, solid
+    # edits raise it at runtime from their SMEM keys (loop-invariant
+    # scalar math, computed once per kernel). Compiled out when the bound
+    # is at/above the grid top (solid-capable everywhere — true for the
+    # reference worldgen's shallow y_falloff at ground-level windows):
+    # the cert could never fire and edits only raise the bound.
+    y_cut = None
+    if 0 <= ps.y_air < Y:
+        y_cut = i32(ps.y_air)
+        if E:
+            ekeys, esol, _ = edits
+            for e in range(E):
+                ey = (ekeys[e] >> 10) & 0x3FF
+                y_cut = jnp.maximum(
+                    y_cut, jnp.where(esol[e] != 0, ey + 1, 0)
+                )
 
     def inst_intersect(ox, oy, oz, dx, dy, dz):
         """Nearest instance-triangle hit per lane (Moller-Trumbore over the
@@ -304,8 +329,11 @@ def _path_kernel(
     else:
         inst_st = ()
 
+    pb0 = jnp.zeros_like(cx)
+    if has_done:
+        pb0 = jnp.where(done_ref[:] != 0, i32(B), pb0)
     state = (
-        jnp.zeros_like(cx),                     # pbounce
+        pb0,                                    # pbounce
         ox0, oy0, oz0, dx0, dy0, dz0, ix, iy, iz,
         cx, cy, cz,
         cur_solid.astype(i32), mhit.astype(i32), mdead.astype(i32),
@@ -317,6 +345,11 @@ def _path_kernel(
 
     max_steps_bounce = int(X + Y + Z + 3)
     max_chunks = (B * max_steps_bounce) // max(1, unroll) + 2 * B + 2
+    if step_cap:
+        # capped pass 1 of the tail restart: stop after ~step_cap march
+        # steps; unfinished lanes are re-traced from scratch by pass 2
+        # (deterministic -> bit-identical to an uncapped single pass)
+        max_chunks = min(max_chunks, max(1, step_cap // max(1, unroll)))
 
     def cond(s):
         return (jnp.min(s[0]) < B) & (s[-1] < max_chunks)
@@ -448,6 +481,13 @@ def _path_kernel(
         dead_now = marching & ~any_hit & (
             (can_skip & skip_out) | (~can_skip & dead_exact)
         )
+        if y_cut is not None:
+            # in air, moving up (cy non-decreasing), at/above the all-air
+            # bound: no hit can follow -> retire as a miss now (records
+            # stay zero, identical to marching to the grid exit)
+            dead_now = dead_now | (
+                marching & ~cur_solid & (dy >= 0.0) & (scy >= y_cut)
+            )
         if n_inst:
             # once the march passes the instance hit, no nearer voxel hit
             # can exist -> resolve now; retire's t-compare picks the
@@ -763,17 +803,21 @@ def _path_kernel(
         out_refs[k + 1][:] = ru
         out_refs[k + 2][:] = rv
         k += 3
+    # final pbounce: >= B iff the lane resolved all its bounces (pass-1
+    # completion mask for the tail restart)
+    out_refs[k][:] = s[0]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("ps", "t_min", "t_max", "n_bounces", "interpret",
                      "unroll", "coarse", "hw", "retire_cond", "n_inst",
-                     "inst_mat"),
+                     "inst_mat", "step_cap"),
 )
 def _path_pallas_flat(ps, o, d, seeds, edit_args, t_min, t_max, n_bounces,
                       interpret=False, unroll=1, coarse=None, hw=None,
-                      retire_cond=True, inst_args=(), n_inst=0, inst_mat=None):
+                      retire_cond=True, inst_args=(), n_inst=0, inst_mat=None,
+                      step_cap=0, done=None):
     br = BLOCK_ROWS
     n = o.shape[0]
     B = n_bounces
@@ -811,8 +855,9 @@ def _path_pallas_flat(ps, o, d, seeds, edit_args, t_min, t_max, n_bounces,
     ox, oy, oz = prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2])
     dx, dy, dz = prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2])
     sd = prep(seeds)
+    done_args = () if done is None else (prep(done.astype(jnp.int32)),)
 
-    n_out = 2 * B + 3 * (B - 1) + (3 * B if n_inst else 0)
+    n_out = 2 * B + 3 * (B - 1) + (3 * B if n_inst else 0) + 1
     out_shapes = []
     for b in range(B):
         out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))
@@ -824,6 +869,7 @@ def _path_pallas_flat(ps, o, d, seeds, edit_args, t_min, t_max, n_bounces,
         out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))
         out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.float32))
         out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.float32))
+    out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))  # pbounce
 
     from jax.experimental.pallas import tpu as pltpu
 
@@ -832,16 +878,18 @@ def _path_pallas_flat(ps, o, d, seeds, edit_args, t_min, t_max, n_bounces,
         functools.partial(
             _path_kernel, ps=ps, t_min=t_min, t_max=t_max, n_bounces=B,
             unroll=unroll, coarse=coarse, retire_cond=retire_cond,
-            n_inst=n_inst, inst_mat=inst_mat,
+            n_inst=n_inst, inst_mat=inst_mat, step_cap=step_cap,
+            has_done=done is not None,
         ),
         grid=grid,
         in_specs=(
-            [smem] * len(edit_args) + [smem] * len(inst_args) + [spec] * 7
+            [smem] * len(edit_args) + [smem] * len(inst_args)
+            + [spec] * (7 + len(done_args))
         ),
         out_specs=[spec] * n_out,
         out_shape=out_shapes,
         interpret=interpret,
-    )(*edit_args, *inst_args, ox, oy, oz, dx, dy, dz, sd)
+    )(*edit_args, *inst_args, ox, oy, oz, dx, dy, dz, sd, *done_args)
     return [post(x) for x in outs]
 
 
@@ -874,7 +922,7 @@ def inst_smem_args(inst, tex_ids):
 def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
                       t_min=0.001, t_max=1000.0, pd=None, interpret=False,
                       unroll=None, hw=None, retire_cond=True, inst=None,
-                      inst_static=None):
+                      inst_static=None, step_cap=0):
     """Trace a FULL path (n_bounces bounces) per ray in one kernel.
 
     Preconditions (caller-checked): worldgen scene whose edits are all
@@ -921,14 +969,38 @@ def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
         n_inst = int(inst["tri"].shape[0])
         inst_args = inst_smem_args(inst, inst_static[0])
         inst_mat = (inst_static[1], inst_static[2])
-    outs = _path_pallas_flat(
-        ps, o, d, sd, edit_smem_args(ps, pd), float(t_min), float(t_max), B,
+    common = dict(
         interpret=interpret or _tp.INTERPRET,
         unroll=UNROLL if unroll is None else unroll,
         coarse=(ps.coarse_const or None) if ps.use_coarse else None,
         hw=hw, retire_cond=retire_cond,
         inst_args=inst_args, n_inst=n_inst, inst_mat=inst_mat,
     )
+    ea = edit_smem_args(ps, pd)
+    outs = _path_pallas_flat(
+        ps, o, d, sd, ea, float(t_min), float(t_max), B,
+        step_cap=int(step_cap), **common,
+    )
+    if step_cap:
+        # tail restart: a block's cost is max over its 1024 lanes of total
+        # path steps, so one grazing ray makes the whole block march its
+        # tail. Pass 1 stops at ~step_cap steps; pass 2 re-traces ONLY the
+        # unfinished lanes from scratch with the full budget (deterministic
+        # per-lane state machines -> bit-identical to an uncapped single
+        # pass; tests/test_path_cap.py), and blocks whose lanes all
+        # finished exit before their first chunk. The XLA rows tracer's
+        # compaction-by-restart, rebuilt for the fused kernel (VERDICT r2
+        # item 4 / docs/PERF.md roadmap 1).
+        done = outs[-1] >= B
+        outs2 = _path_pallas_flat(
+            ps, o, d, sd, ea, float(t_min), float(t_max), B,
+            done=done, **common,
+        )
+        outs = [
+            jnp.where(done, a, b) for a, b in zip(outs[:-1], outs2[:-1])
+        ]
+    else:
+        outs = outs[:-1]
     pw = assemble(ps, pd)
     traces = []
     for b in range(B):

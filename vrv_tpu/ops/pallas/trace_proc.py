@@ -258,6 +258,7 @@ def _apply_edits(cx, cy, cz, wg_solid, edits):
 
 def _trace_kernel(
     *refs, ps, t_min, t_max, unroll=1, coarse=None, max_steps_cap=0,
+    has_tcap=False,
 ):
     f32 = jnp.float32
     i32 = jnp.int32
@@ -271,11 +272,34 @@ def _trace_kernel(
 
     if E:
         (ek_ref, ef_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-         t_ref, packed_ref) = refs
+         *rest) = refs
         edits = _edit_overrides(ek_ref, ef_ref, E)
     else:
-        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-         t_ref, packed_ref) = refs
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, *rest) = refs
+    if has_tcap:
+        # per-lane t ceiling (shadow rays: the march past the light point
+        # cannot change visibility — see render/megakernel.py's vis rule)
+        tcap_ref, t_ref, packed_ref = rest
+    else:
+        t_ref, packed_ref = rest
+
+    # upward-exit certificate bound (ProcStatic.y_air): every cell with
+    # cy >= y_cut is air — worldgen bound from the pristine grid, solid
+    # edits raise it at runtime from their SMEM keys (loop-invariant
+    # scalar math, computed once per kernel). Compiled out when the bound
+    # is at/above the grid top (solid-capable everywhere — true for the
+    # reference worldgen's shallow y_falloff at ground-level windows):
+    # the cert could never fire and edits only raise the bound.
+    y_cut = None
+    if 0 <= ps.y_air < ps.shape[1]:
+        y_cut = jnp.int32(ps.y_air)
+        if E:
+            ekeys, esol, _ = edits
+            for e in range(E):
+                ey = (ekeys[e] >> 10) & 0x3FF
+                y_cut = jnp.maximum(
+                    y_cut, jnp.where(esol[e] != 0, ey + 1, 0)
+                )
 
     ox = ox_ref[:]
     oy = oy_ref[:]
@@ -283,6 +307,7 @@ def _trace_kernel(
     dx = dx_ref[:]
     dy = dy_ref[:]
     dz = dz_ref[:]
+    tmax_v = jnp.minimum(f32(t_max), tcap_ref[:]) if has_tcap else f32(t_max)
 
     tiny = f32(1e-12)
     bigx = jnp.abs(dx) < tiny
@@ -335,7 +360,7 @@ def _trace_kernel(
 
     t0 = jnp.maximum(t_enter, f32(t_min))
     degenerate = bigx & bigy & bigz
-    valid = (t0 <= t_exit) & (t0 <= f32(t_max)) & ~degenerate
+    valid = (t0 <= t_exit) & (t0 <= tmax_v) & ~degenerate
 
     cx = jnp.clip(jnp.floor(ox + t0 * dx).astype(i32), 0, X - 1)
     cy = jnp.clip(jnp.floor(oy + t0 * dy).astype(i32), 0, Y - 1)
@@ -345,7 +370,7 @@ def _trace_kernel(
     starts_outside = t_enter > f32(t_min)
     entry_face = enter_axis * 2 + jnp.where(d_enter > 0, 0, 1)
     hit0 = valid & starts_outside & cur_solid & (t_enter >= f32(t_min)) & (
-        t_enter <= f32(t_max)
+        t_enter <= tmax_v
     )
 
     zero = jnp.zeros_like(cx)
@@ -467,7 +492,7 @@ def _trace_kernel(
             skip_inside = (
                 (kx >= 0) & (kx < X) & (ky >= 0) & (ky < Y) & (kz >= 0) & (kz < Z)
             )
-            skip_out = ~skip_inside | (t_skip > f32(t_max))
+            skip_out = ~skip_inside | (t_skip > tmax_v)
             can_skip = (
                 alive & cert
                 & ((kx != scx) | (ky != scy) | (kz != scz))
@@ -502,7 +527,7 @@ def _trace_kernel(
 
         entering_hit = new_solid & cur_tl & ~can_skip
         exiting_hit = cur_solid & new_tl & ~can_skip
-        in_range = (t_next >= f32(t_min)) & (t_next <= f32(t_max))
+        in_range = (t_next >= f32(t_min)) & (t_next <= tmax_v)
         any_hit = alive & in_range & (entering_hit | exiting_hit)
         nface = jnp.where(
             entering_hit,
@@ -511,8 +536,13 @@ def _trace_kernel(
         ).astype(i32)
 
         rec = any_hit & ~hit
-        dead_exact = ~inside_exact | (t_next > f32(t_max))
+        dead_exact = ~inside_exact | (t_next > tmax_v)
         dead = (can_skip & skip_out) | (~can_skip & dead_exact)
+        if y_cut is not None:
+            # in air, moving up (cy non-decreasing), at/above the all-air
+            # bound: no hit can follow -> retire as a miss now (records
+            # stay zero, identical to marching to the grid exit)
+            dead = dead | (~cur_solid & (dy >= 0.0) & (scy >= y_cut))
         return (
             (alive & ~any_hit & ~dead).astype(i32),
             nx, ny, nz,
@@ -578,7 +608,7 @@ def edit_smem_args(ps, pd):
 )
 def _trace_proc_pallas_flat(ps, o, d, edit_args, t_min, t_max, interpret=False,
                             unroll=1, coarse=None, max_steps_cap=0,
-                            block_rows=None, hw=None):
+                            block_rows=None, hw=None, tcap=None):
     br = block_rows or BLOCK_ROWS
     n = o.shape[0]
     if hw is not None:
@@ -622,6 +652,7 @@ def _trace_proc_pallas_flat(ps, o, d, edit_args, t_min, t_max, interpret=False,
 
     ox, oy, oz = prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2])
     dx, dy, dz = prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2])
+    tcap_args = () if tcap is None else (prep(tcap),)
 
     # the padded edit list rides in SMEM: two (E,) i32 arrays, read once
     # per kernel as loop-invariant scalars (see _edit_overrides)
@@ -630,28 +661,34 @@ def _trace_proc_pallas_flat(ps, o, d, edit_args, t_min, t_max, interpret=False,
         functools.partial(
             _trace_kernel, ps=ps, t_min=t_min, t_max=t_max, unroll=unroll,
             coarse=coarse, max_steps_cap=max_steps_cap,
+            has_tcap=tcap is not None,
         ),
         grid=grid,
-        in_specs=[smem] * len(edit_args) + [spec] * 6,
+        in_specs=[smem] * len(edit_args) + [spec] * (6 + len(tcap_args)),
         out_specs=[spec, spec],
         out_shape=[
             jax.ShapeDtypeStruct(out_shape, jnp.float32),
             jax.ShapeDtypeStruct(out_shape, jnp.int32),
         ],
         interpret=interpret,
-    )(*edit_args, ox, oy, oz, dx, dy, dz)
+    )(*edit_args, ox, oy, oz, dx, dy, dz, *tcap_args)
     return post(t), post(packed)
 
 
 def trace_proc_pallas(ps, origin, direction, t_min=0.001, t_max=1000.0,
                       pd=None, interpret=False, unroll=None, max_steps_cap=0,
-                      block_rows=None, hw=None):
+                      block_rows=None, hw=None, tcap=None):
     """Same contract as dda_proc.trace_proc (incl. the padded edit list).
 
     hw=(R, W): optional pixel-grid shape of the flattened ray batch
     (R = rows = spp*height, W = image width); enables 2D image-tile
     blocking (see _trace_proc_pallas_flat). Results are identical either
     way — only the block->ray assignment changes.
+
+    tcap: optional (n,) per-lane t ceiling (effective t_max =
+    min(t_max, tcap[i])). Shadow rays pass their light distance: marching
+    past the light point cannot change the visibility verdict, and
+    unoccluded shadow rays otherwise march to the grid exit.
     """
     from vrv_tpu.ops.dda import TraceResult
     from vrv_tpu.ops.dda_proc import _hit_blocks, assemble
@@ -670,7 +707,9 @@ def trace_proc_pallas(ps, origin, direction, t_min=0.001, t_max=1000.0,
                                         coarse=(ps.coarse_const or None)
                                         if ps.use_coarse else None,
                                         max_steps_cap=max_steps_cap,
-                                        block_rows=block_rows, hw=hw)
+                                        block_rows=block_rows, hw=hw,
+                                        tcap=None if tcap is None
+                                        else tcap.reshape(-1).astype(jnp.float32))
     hit = (packed & 1) == 1
     entering = ((packed >> 1) & 1) == 1
     face = (packed >> 2) & 7

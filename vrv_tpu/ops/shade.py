@@ -304,11 +304,21 @@ def do_bounce(
         # direct term is w * BRDF * cos_x * E_y * cos_l * A_vis /
         # (P(leaf) * dist^2), E_y evaluated with the chain's own emission
         # convention gain * tex * cos_l (pathtrace_shader.rs:754) — the
-        # caller multiplies by shadow-ray visibility and path throughput
-        ls = nee.sample_light(
-            new_origin, normal, seed, bvh, bvh_max_depth,
-            importance_scale=nee_importance_scale, mis_clamp=nee_mis_clamp,
-        )
+        # caller multiplies by shadow-ray visibility and path throughput.
+        # Small light sets sample via the flat list (nee.sample_light_flat,
+        # the production path); the descent remains the >cap fallback.
+        if bvh.get("flat") is not None:
+            ls = nee.sample_light_flat(
+                new_origin, normal, seed, bvh["flat"],
+                importance_scale=nee_importance_scale,
+                mis_clamp=nee_mis_clamp,
+            )
+        else:
+            ls = nee.sample_light(
+                new_origin, normal, seed, bvh, bvh_max_depth,
+                importance_scale=nee_importance_scale,
+                mis_clamp=nee_mis_clamp,
+            )
         new_dir_l = dir_hemi
         cos_theta = _dot(new_dir_l, normal)
         # literal reference arithmetic: (cos/pi) / (cos/pi)

@@ -54,8 +54,13 @@ def render_samples(
     proc=None,
     light_tex_set=None,
     inst_static=None,
+    occupancy_out=None,
 ) -> jax.Array:
     """Render linear radiance per sample: (spp, H, W, 3) float32.
+
+    occupancy_out: optional list; appends the live-ray count entering
+    each bounce (wavefront-mode telemetry — derived from the recorded
+    alive masks, zero scatter; see render/wavefront.py).
 
     `eye` is in grid-local coordinates (world - grid origin); callers use
     render/scene.py which handles the shift. y0/s0 + local extents select
@@ -205,6 +210,7 @@ def render_samples(
                 retire_cond=cfg.pallas_retire_cond,
                 inst=inst if inst_in_kernel else None,
                 inst_static=inst_static if inst_in_kernel else None,
+                step_cap=cfg.pallas_step_cap,
             )
         n = o.shape[0]
 
@@ -212,9 +218,15 @@ def render_samples(
     throughput = jnp.ones((n, 3), jnp.float32)
     alive = jnp.ones((n,), bool)
 
-    def trace_batch(o_tr, d_tr, hw=None):
+    def trace_batch(o_tr, d_tr, hw=None, tcap=None):
         """Dispatch a flat ray batch to the configured tracer — the bounce
-        traces and (split mode) the batched shadow rays use the same path."""
+        traces and (split mode) the batched shadow rays use the same path.
+
+        tcap (pallas only): per-lane t ceiling. Shadow rays pass their
+        light distance — hits beyond it cannot flip the visibility rule
+        below, so the capped trace yields the identical verdict while
+        skipping the march past the light (the XLA backend ignores the
+        cap; both backends produce the same `vis`)."""
         if cfg.tracer == "proc" and proc_static is not None:
             if use_pallas:
                 from vrv_tpu.ops.pallas.trace_proc import trace_proc_pallas
@@ -224,6 +236,7 @@ def render_samples(
                     pd=proc,
                     unroll=cfg.pallas_unroll or None,
                     hw=hw,
+                    tcap=tcap,
                 )
             from vrv_tpu.ops.dda_proc import trace_proc
 
@@ -259,6 +272,12 @@ def render_samples(
     w_prev = None
 
     for bounce in range(cfg.max_bounces):
+        if occupancy_out is not None:
+            # min() strips the tile-padding lanes, which are alive until
+            # bounce 0 shades them as misses (real rays never exceed S*H*W)
+            occupancy_out.append(
+                jnp.minimum(alive.sum(), jnp.int32(S * H * W))
+            )
         # named scopes make the per-stage costs legible in xprof traces —
         # the observability the reference's wavefront branch existed for
         # (reference README.md:40-43)
@@ -459,11 +478,12 @@ def render_samples(
             hw_shadow = (
                 (b_s * layout_rows, layout_w) if cfg.pallas_tile2d else None
             )
-            sh = trace_batch(so_cat, sd_cat, hw=hw_shadow)
+            eps = 1e-3 + 1e-3 * dist_cat
+            sh = trace_batch(so_cat, sd_cat, hw=hw_shadow,
+                             tcap=dist_cat - eps)
             # visible iff nothing resolves strictly before the light point
             # (the shadow ray's own hit on the sampled lamp face lands at
             # t == dist up to fp error)
-            eps = 1e-3 + 1e-3 * dist_cat
             vis = (~sh.hit) | (sh.t >= dist_cat - eps)
             if inst is not None:
                 # entity instances occlude shadow rays too (the reference's

@@ -233,6 +233,9 @@ class Scene:
     # per-step edit compare stops paying and the proc tracer is disabled
     # (render falls back to the 'rows' grid tracer)
     PROC_EDIT_CAP = 64
+    # beyond this many light triangles the flat split-NEE sampler stops
+    # paying and sampling falls back to the stochastic BVH descent
+    FLAT_LIGHT_CAP = 64
 
     def _sync_proc(self) -> None:
         """(Re)derive the procedural-tracer view of the current grid.
@@ -292,6 +295,14 @@ class Scene:
         self._proc_diff = {
             tuple(int(x) for x in c): int(grid_np[tuple(c)]) for c in diff
         }
+        # highest pristine-solid y + 1 -> upward-exit certificate bound
+        # (ProcStatic.y_air; solid edits extend it in-kernel at runtime)
+        solid_ys = np.nonzero(
+            (self._pristine != self.table.air).any(axis=(0, 2))
+        )[0]
+        ps0 = ps0._replace(
+            y_air=int(solid_ys.max()) + 1 if len(solid_ys) else 0
+        )
         self._proc_ps0 = ps0
         self._proc_finalize()
 
@@ -323,7 +334,10 @@ class Scene:
             self.proc_arrays = None
             return
         n = len(self._proc_diff)
-        cap = 0 if n == 0 else max(16, 1 << (n - 1).bit_length())
+        # pad to the next pow2 bucket (shape-stable jit caches); min 4 —
+        # the per-step in-kernel compare is O(cap), and a single placed
+        # lamp at the old min of 16 cost ~66 ms/frame (probe.py entry)
+        cap = 0 if n == 0 else max(4, 1 << (n - 1).bit_length())
         cells = np.full((cap, 3), -(1 << 20), np.int32)  # sentinel: never matches
         blocks = np.full(cap, self.table.air, np.uint8)
         solidv = np.zeros(cap, bool)
@@ -403,6 +417,31 @@ class Scene:
         self.light_bvh = lb.build_light_bvh(tris, lpa, uv=uv, tex=tex)
         self.bvh_device = device_bvh(self.light_bvh)
         self.bvh_max_depth = self.light_bvh.max_depth
+        if self.bvh_device is not None and 0 < len(tris) <= self.FLAT_LIGHT_CAP:
+            # flat light list for ops/nee.sample_light_flat (split NEE at
+            # game scale: brute-force importance beats the descent on TPU,
+            # like ops/instances vs the TLAS). Padded to a pow2 bucket for
+            # jit shape stability; pad rows have power 0 -> never sampled.
+            L = len(tris)
+            cap = max(4, 1 << (L - 1).bit_length())
+            pad = cap - L
+            areas = 0.5 * np.linalg.norm(
+                np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0]),
+                axis=1,
+            ).astype(np.float32)
+            self.bvh_device["flat"] = {
+                "tri": jnp.asarray(np.pad(
+                    tris.astype(np.float32), ((0, pad), (0, 0), (0, 0))
+                )),
+                "power": jnp.asarray(np.pad(
+                    (lpa.astype(np.float32) * areas), (0, pad)
+                )),
+                "area": jnp.asarray(np.pad(areas, (0, pad))),
+                "uv": jnp.asarray(np.pad(
+                    uv.astype(np.float32), ((0, pad), (0, 0), (0, 0))
+                )),
+                "tex": jnp.asarray(np.pad(tex.astype(np.int32), (0, pad))),
+            }
         # static texture-id set reachable by light samples: routes the
         # split-NEE emission fetch through the exact one-hot MXU matmul
         self.light_tex_set = (
@@ -564,13 +603,22 @@ def _jit_render(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool,
 
     def _fn_inner(grid, translucent, materials, bvh, dist, inst, rows, proc,
                   eye, front, right, up, frame):
-        if cfg.mode == "wavefront":
+        if cfg.mode == "wavefront_compact":
             from vrv_tpu.render import wavefront
 
             return wavefront.render_frame_wavefront(
                 grid, translucent, materials, bvh if has_lights else None,
                 bvh_max_depth, dist, inst, rows, eye, front, right, up, frame, cfg,
                 proc_static=proc_static, proc=proc,
+            )
+        if cfg.mode == "wavefront":
+            from vrv_tpu.render import wavefront
+
+            return wavefront.render_frame_wavefront_fused(
+                grid, translucent, materials, bvh if has_lights else None,
+                bvh_max_depth, dist, inst, rows, eye, front, right, up, frame, cfg,
+                proc_static=proc_static, proc=proc,
+                light_tex_set=light_tex_set, inst_static=inst_static,
             )
         return megakernel.render_frame(
             grid, translucent, materials, bvh if has_lights else None,

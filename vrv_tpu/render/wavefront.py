@@ -1,8 +1,23 @@
-"""Wavefront frame renderer: per-bounce kernels with ray compaction.
+"""Wavefront frame renderers.
+
+Two formulations:
+
+1. FUSED (cfg.mode='wavefront', the production one): the fused Pallas
+   path kernel IS the wavefront idea done TPU-natively — per-ray bounce
+   progression inside the core with zero scatter — so wavefront mode
+   rides render/megakernel.py's fused dispatch and derives the per-bounce
+   live-ray occupancy telemetry from the kernel's recorded alive masks
+   (render_samples_wavefront_fused). Identical radiance to megakernel
+   mode by construction; the telemetry costs four lazy reductions.
+2. COMPACT (cfg.mode='wavefront_compact', telemetry/debug): the literal
+   per-bounce dispatch + ray-queue formulation below — the reference's
+   GPU-era structure, kept as the structural analog and for foreign
+   grids. On v5e its cumsum-scatter compaction floor makes it ~14x
+   slower than the fused kernel (docs/PERF.md measurement correction).
 
 The reference's wavefront branch splits the megakernel into per-bounce
 dispatches with ray queues and found it "a little faster" at higher memory
-cost (reference README.md:28-43). The TPU analog:
+cost (reference README.md:28-43). The compaction-formulation TPU analog:
 
   - bounce 0 runs over the full (coherent) primary-ray buffer;
   - after each bounce, live rays are compacted to a prefix with a
@@ -228,5 +243,47 @@ def render_frame_wavefront(
         grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows,
         eye, front, right, up, frame, cfg,
         proc_static=proc_static, proc=proc,
+    )
+    return pack_bgra(fb / cfg.samples_per_pixel)
+
+
+def render_samples_wavefront_fused(
+    grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows,
+    eye, front, right, up, frame, cfg: RenderConfig,
+    with_occupancy: bool = False,
+    proc_static=None, proc=None, light_tex_set=None, inst_static=None,
+):
+    """Fused-kernel wavefront: megakernel dispatch + occupancy telemetry.
+
+    Sample-summed radiance (H, W, 3) float32 (divide by spp for the
+    mean); with_occupancy additionally returns the (B,) per-bounce
+    live-ray counts taken from the recorded alive masks — the profiling
+    signal the reference's wavefront branch existed for, at zero scatter
+    cost (VERDICT r2 item 6)."""
+    from vrv_tpu.render import megakernel as mk
+
+    occ = [] if with_occupancy else None
+    samples = mk.render_samples(
+        grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows,
+        eye, front, right, up, frame, cfg,
+        proc_static=proc_static, proc=proc, light_tex_set=light_tex_set,
+        inst_static=inst_static, occupancy_out=occ,
+    )
+    fb = samples.sum(axis=0)
+    if with_occupancy:
+        return fb, jnp.stack(occ)
+    return fb
+
+
+def render_frame_wavefront_fused(
+    grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows,
+    eye, front, right, up, frame, cfg: RenderConfig,
+    proc_static=None, proc=None, light_tex_set=None, inst_static=None,
+) -> jax.Array:
+    fb = render_samples_wavefront_fused(
+        grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows,
+        eye, front, right, up, frame, cfg,
+        proc_static=proc_static, proc=proc, light_tex_set=light_tex_set,
+        inst_static=inst_static,
     )
     return pack_bgra(fb / cfg.samples_per_pixel)
