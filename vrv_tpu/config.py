@@ -100,6 +100,12 @@ class RenderConfig:
     # local -> per-block early exit fires together) instead of flat
     # row-major strips. Identical results; A/B knob.
     pallas_tile2d: bool = True
+    # batched shading over the fused kernel's recorded bounces: run the
+    # geometry resolve per bounce (the origin chain is sequential by
+    # nature) but ONE shade_resolved call over all NEE bounces' rows —
+    # per-bounce shade/NEE fusions collapse into one fusion set
+    # (row-independent math -> bit-identical; tests/test_batched_shade.py)
+    pallas_batched_shade: bool = True
     # fused path kernel tail restart: pass 1 stops after ~this many march
     # steps; a second launch re-traces only the unfinished lanes (their
     # blocks) with the full budget. Bit-identical (deterministic per-lane

@@ -132,53 +132,37 @@ def _face_const_matrix() -> np.ndarray:
 _FACE_CONST = _face_const_matrix()
 
 
-def do_bounce(
+class ResolvedHit(NamedTuple):
+    """Geometry-side bounce state (resolve_hit): everything shading needs
+    that depends on the hit-point CHAIN — hit merge, tangent frame, uv,
+    material id, next origin. Per-bounce sequential by nature (bounce b's
+    origin is bounce b-1's new_origin); the expensive texture/NEE/BSDF
+    work in shade_resolved is chain-free and can run batched over all
+    bounces at once (render/megakernel.py batched shading)."""
+    hit: jax.Array          # (n,) bool — voxel or instance
+    use_inst: jax.Array     # (n,) bool
+    new_origin: jax.Array   # (n, 3) — 0 for misses (the chain convention)
+    normal: jax.Array       # (n, 3)
+    tangent: jax.Array      # (n, 3)
+    bitangent: jax.Array    # (n, 3)
+    u: jax.Array            # (n,)
+    v: jax.Array            # (n,)
+    t_mat: jax.Array        # (n,) int32 texture id
+
+
+def resolve_hit(
     origin: jax.Array,
     direction: jax.Array,
     tr: dda.TraceResult,
-    seed: jax.Array,
-    materials: dict,
-    bvh: Optional[dict],
-    *,
-    sky_emission: float = 50.0,
-    emission_gain: float = 1000.0,
-    nee_importance_scale: float = 10.0,
-    nee_mis_clamp: float = 0.5,
-    bvh_max_depth: int = 0,
     inst: Optional[dict] = None,
     inst_hit=None,
-    tex_set: Optional[tuple] = None,
-    nee_mode: str = "mixture",
-    w_prev: Optional[jax.Array] = None,
-    light_tex_set: Optional[tuple] = None,
-) -> BounceResult:
-    """One path-tracing bounce for a flat ray batch.
+) -> ResolvedHit:
+    """Merge voxel + instance hits and derive the shading frame.
 
-    materials: dict with 'reflectivity' (T,16,16,4), 'emissivity' (T,16,16,3),
-    'metallicity' (T,16,16,1) float32 linear atlases.
-    bvh: device LightBvh dict or None for no lights (traversal draws still
-    never happen in the reference when the tree is a dummy node, :513-522,
-    and every draw below is keyed by (seed, slot) so draw alignment is
-    unaffected).
-    inst/inst_hit: optional dynamic-entity triangle set
-    {'tri','t','uv','valid'} + ops.instances.InstanceHit; the nearer of the
-    voxel and instance hits wins per ray.
-
-    nee_mode: 'mixture' = the reference's one-sample MIS (the continuation
-    ray is redirected at the light with probability w — pathtrace_shader.rs
-    :775-872); 'split' = shadow-ray NEE: the continuation stays
-    cosine-sampled (so a pre-recorded path chain, e.g. the fused Pallas
-    kernel's, stays valid) and the direct term rides a separate shadow ray
-    returned in BounceResult. Both weight the light strategy by the same
-    w = clamp(importance/10, 0, 0.5); surface emission picked up by the
-    chain is complemented by (1 - w_prev) in split mode, which makes the
-    two estimators agree in expectation (convex split of the same
-    integral; gated statistically in tests/test_nee_split.py).
-    w_prev: (n,) prior-bounce light weights (split mode).
-    light_tex_set: static tuple of texture ids reachable via light samples
-    (scene's emissive faces) — routes the direct term's emission fetch
-    through the exact one-hot MXU matmul instead of a row gather.
-    """
+    The voxel branch reads per-face constant tables (one one-hot matmul);
+    the instance branch interpolates the hit triangle (reference
+    pathtrace_shader.rs:716-742). new_origin is zeroed for misses, the
+    convention do_bounce always had."""
     n = origin.shape[0]
     f32 = jnp.float32
 
@@ -255,6 +239,49 @@ def do_bounce(
         v = jnp.where(use_inst, uv_interp[:, 1], v)
         t_mat = jnp.where(use_inst, tmat_i, t_mat)
         new_origin = jnp.where(m, p_i, new_origin)
+
+    return ResolvedHit(
+        hit=hit,
+        use_inst=use_inst,
+        new_origin=jnp.where(hit[:, None], new_origin, 0.0),
+        normal=normal,
+        tangent=tangent,
+        bitangent=bitangent,
+        u=u,
+        v=v,
+        t_mat=t_mat,
+    )
+
+
+def shade_resolved(
+    rh: ResolvedHit,
+    direction: jax.Array,
+    seed: jax.Array,
+    materials: dict,
+    bvh: Optional[dict],
+    *,
+    sky_emission: float = 50.0,
+    emission_gain: float = 1000.0,
+    nee_importance_scale: float = 10.0,
+    nee_mis_clamp: float = 0.5,
+    bvh_max_depth: int = 0,
+    tex_set: Optional[tuple] = None,
+    nee_mode: str = "mixture",
+    w_prev: Optional[jax.Array] = None,
+    light_tex_set: Optional[tuple] = None,
+) -> BounceResult:
+    """Texture fetch + BSDF branch + NEE over pre-resolved hits.
+
+    Row-independent (every output row depends only on that row's inputs:
+    elementwise math, per-row one-hot matmuls, (seed, slot)-keyed draws),
+    so calling it once over B bounces' concatenated rows is bit-identical
+    to B per-bounce calls — megakernel batched shading relies on this
+    (gated in tests/test_batched_shade.py)."""
+    n = direction.shape[0]
+    f32 = jnp.float32
+    hit = rh.hit
+    normal, tangent, bitangent = rh.normal, rh.tangent, rh.bitangent
+    u, v, t_mat, new_origin = rh.u, rh.v, rh.t_mat, rh.new_origin
 
     if tex_set is not None and "packed" in materials:
         # small reachable texture set (e.g. the fused path kernel's
@@ -413,7 +440,7 @@ def do_bounce(
     sky = jnp.full((n, 3), f32(sky_emission))
     emissivity = jnp.where(hit[:, None], emissivity, sky)
     refl_out = jnp.where(hit[:, None], refl_out, 0.0)
-    new_origin = jnp.where(hit[:, None], new_origin, 0.0)
+    # new_origin already zeroed for misses by resolve_hit
     new_direction = jnp.where(hit[:, None], new_direction, 0.0)
 
     return BounceResult(
@@ -426,4 +453,69 @@ def do_bounce(
         shadow_dir=sdir,
         shadow_dist=sdist,
         w=w_out,
+    )
+
+
+def do_bounce(
+    origin: jax.Array,
+    direction: jax.Array,
+    tr: dda.TraceResult,
+    seed: jax.Array,
+    materials: dict,
+    bvh: Optional[dict],
+    *,
+    sky_emission: float = 50.0,
+    emission_gain: float = 1000.0,
+    nee_importance_scale: float = 10.0,
+    nee_mis_clamp: float = 0.5,
+    bvh_max_depth: int = 0,
+    inst: Optional[dict] = None,
+    inst_hit=None,
+    tex_set: Optional[tuple] = None,
+    nee_mode: str = "mixture",
+    w_prev: Optional[jax.Array] = None,
+    light_tex_set: Optional[tuple] = None,
+) -> BounceResult:
+    """One path-tracing bounce for a flat ray batch.
+
+    resolve_hit + shade_resolved in one call — the reference's doBounce
+    (pathtrace_shader.rs:697-884) shape.
+
+    materials: dict with 'reflectivity' (T,16,16,4), 'emissivity' (T,16,16,3),
+    'metallicity' (T,16,16,1) float32 linear atlases.
+    bvh: device LightBvh dict or None for no lights (traversal draws still
+    never happen in the reference when the tree is a dummy node, :513-522,
+    and every draw below is keyed by (seed, slot) so draw alignment is
+    unaffected).
+    inst/inst_hit: optional dynamic-entity triangle set
+    {'tri','t','uv','valid'} + ops.instances.InstanceHit; the nearer of the
+    voxel and instance hits wins per ray.
+
+    nee_mode: 'mixture' = the reference's one-sample MIS (the continuation
+    ray is redirected at the light with probability w — pathtrace_shader.rs
+    :775-872); 'split' = shadow-ray NEE: the continuation stays
+    cosine-sampled (so a pre-recorded path chain, e.g. the fused Pallas
+    kernel's, stays valid) and the direct term rides a separate shadow ray
+    returned in BounceResult. Both weight the light strategy by the same
+    w = clamp(importance/10, 0, 0.5); surface emission picked up by the
+    chain is complemented by (1 - w_prev) in split mode, which makes the
+    two estimators agree in expectation (convex split of the same
+    integral; gated statistically in tests/test_nee_split.py).
+    w_prev: (n,) prior-bounce light weights (split mode).
+    light_tex_set: static tuple of texture ids reachable via light samples
+    (scene's emissive faces) — routes the direct term's emission fetch
+    through the exact one-hot MXU matmul instead of a row gather.
+    """
+    rh = resolve_hit(origin, direction, tr, inst=inst, inst_hit=inst_hit)
+    return shade_resolved(
+        rh, direction, seed, materials, bvh,
+        sky_emission=sky_emission,
+        emission_gain=emission_gain,
+        nee_importance_scale=nee_importance_scale,
+        nee_mis_clamp=nee_mis_clamp,
+        bvh_max_depth=bvh_max_depth,
+        tex_set=tex_set,
+        nee_mode=nee_mode,
+        w_prev=w_prev,
+        light_tex_set=light_tex_set,
     )

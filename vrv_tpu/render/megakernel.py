@@ -267,11 +267,117 @@ def render_samples(
     layout_rows = n // layout_w if cfg.pallas_tile2d else None
     hw_bounce = (layout_rows, layout_w) if cfg.pallas_tile2d else None
 
+    # fused path: hits can only be grass/stone (lambert worldgen) -> the
+    # atlas fetch rides the MXU over that small static texture set
+    tex_set = None
+    if fused_traces is not None and cfg.pallas_onehot_tex:
+        blocks = {proc_static.grass, proc_static.stone}
+        if proc_static.n_edits:
+            # edited cells can carry any opaque-lambert block
+            blocks |= set(proc_static.lambert_blocks)
+        tex_ids = {b * 6 + f for b in sorted(blocks) for f in range(6)}
+        if inst_in_kernel:
+            tex_ids |= set(inst_static[0])
+        tex_set = tuple(sorted(tex_ids))
+
     # split-NEE per-bounce records (batched shadow trace after the loop)
     split_T, split_direct, split_so, split_sd, split_dist = [], [], [], [], []
     w_prev = None
 
-    for bounce in range(cfg.max_bounces):
+    if fused_traces is not None and cfg.pallas_batched_shade:
+        # --- batched shading over the recorded chain ---
+        # Phase 1 (sequential, cheap): resolve the hit geometry per bounce
+        # — the origin chain is inherently sequential (bounce b starts at
+        # bounce b-1's hit point), but it is only hit merges + one 6-row
+        # one-hot matmul per bounce. Phase 2: ONE shade_resolved call over
+        # all NEE bounces' concatenated rows — the per-bounce texture/NEE/
+        # BSDF fusions (the "~50 ms XLA glue", docs/PERF.md roadmap 2)
+        # collapse into one fusion set. Row-independent math makes this
+        # bit-identical to the per-bounce loop (tests/test_batched_shade.py).
+        B = cfg.max_bounces
+        rhs, d_list, seed_list = [], [], []
+        o_b, d_b = o, d
+        for b in range(B):
+            with jax.named_scope(f"resolve_b{b}"):
+                rhs.append(shade.resolve_hit(
+                    o_b, d_b, fused_traces[b],
+                    inst=inst if inst_in_kernel else None,
+                    inst_hit=fused_ihits[b] if fused_ihits is not None else None,
+                ))
+            d_list.append(d_b)
+            seed_list.append(rng.murmur3_combine(seeds, jnp.uint32(b)))
+            o_b = rhs[b].new_origin
+            if b + 1 < B:
+                d_b = fused_dirs[b]
+
+        def _cat(xs):
+            return xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
+
+        def _cat_rh(idx):
+            return shade.ResolvedHit(*[
+                _cat([getattr(rhs[b], f) for b in idx])
+                for f in shade.ResolvedHit._fields
+            ])
+
+        # the last bounce shades without NEE (split mode truncates there —
+        # see the loop below), so it gets its own small call; in no-light
+        # scenes one call covers every bounce
+        groups = (
+            [(list(range(B - 1)), bvh), ([B - 1], None)]
+            if (split_nee and B > 1) else [(list(range(B)), None)]
+        )
+        brs = [None] * B
+        for idx, bvh_g in groups:
+            with jax.named_scope("shade_batched"):
+                br_g = shade.shade_resolved(
+                    _cat_rh(idx), _cat([d_list[b] for b in idx]),
+                    _cat([seed_list[b] for b in idx]), materials, bvh_g,
+                    sky_emission=cfg.sky_emission,
+                    emission_gain=cfg.emission_gain,
+                    nee_importance_scale=cfg.nee_importance_scale,
+                    nee_mis_clamp=cfg.nee_mis_clamp,
+                    bvh_max_depth=bvh_max_depth,
+                    tex_set=tex_set,
+                    nee_mode="split" if split_nee else "mixture",
+                    w_prev=None,
+                    light_tex_set=light_tex_set if split_nee else None,
+                )
+            for j, b in enumerate(idx):
+                brs[b] = jax.tree.map(
+                    lambda x, j=j: x[j * n:(j + 1) * n], br_g
+                )
+
+        # Phase 3 (sequential, cheap): radiance accumulation — identical
+        # op order to the loop below; the (1 - w_prev) emission complement
+        # moves here (masked to hits, exactly the in-call multiply)
+        for bounce in range(B):
+            if occupancy_out is not None:
+                occupancy_out.append(
+                    jnp.minimum(alive.sum(), jnp.int32(S * H * W))
+                )
+            br = brs[bounce]
+            e_b = br.emissivity
+            if split_nee and w_prev is not None:
+                e_b = jnp.where(
+                    br.miss[:, None], e_b, e_b * (1.0 - w_prev)[:, None]
+                )
+            if split_nee and bounce < B - 1:
+                split_T.append(jnp.where(alive[:, None], throughput, 0.0))
+                split_direct.append(br.direct)
+                split_so.append(br.new_origin)
+                split_sd.append(br.shadow_dir)
+                split_dist.append(br.shadow_dist)
+            w_prev = br.w
+            color = color + jnp.where(alive[:, None], throughput * e_b, 0.0)
+            throughput = jnp.where(
+                alive[:, None], throughput * br.reflectivity, 0.0
+            )
+            alive = alive & ~br.miss
+        bounce_range = ()
+    else:
+        bounce_range = range(cfg.max_bounces)
+
+    for bounce in bounce_range:
         if occupancy_out is not None:
             # min() strips the tile-padding lanes, which are alive until
             # bounce 0 shades them as misses (real rays never exceed S*H*W)
@@ -315,20 +421,6 @@ def render_samples(
                     o, d, inst["tri"], inst["valid"], t_min=cfg.t_min, t_max=cfg.t_max
                 )
         with jax.named_scope(f"shade_b{bounce}"):
-            # fused path: hits can only be grass/stone (lambert worldgen)
-            # -> the atlas fetch rides the MXU over that 12-texture set
-            tex_set = None
-            if fused_traces is not None and cfg.pallas_onehot_tex:
-                blocks = {proc_static.grass, proc_static.stone}
-                if proc_static.n_edits:
-                    # edited cells can carry any opaque-lambert block
-                    blocks |= set(proc_static.lambert_blocks)
-                tex_ids = {
-                    b * 6 + f for b in sorted(blocks) for f in range(6)
-                }
-                if inst_in_kernel:
-                    tex_ids |= set(inst_static[0])
-                tex_set = tuple(sorted(tex_ids))
             # split mode truncates NEE at the last bounce: its direct term
             # stands in for the emission the chain would collect one bounce
             # later, and the reference's loop ends here — keeping it would
