@@ -317,12 +317,17 @@ def trace_proc(
     t_min: float = 0.001,
     t_max: float = 1000.0,
     pd: Optional[dict] = None,
+    tcap: Optional[jax.Array] = None,
 ) -> TraceResult:
     """March rays through the procedural world. Same contract as dda.trace.
 
     ps: a ProcStatic (jit-static scalars) OR a pre-assembled ProcWorld;
     pd: the dynamic array bundle (coarse + edits) when ps is a ProcStatic.
     origin/direction: (..., 3) float32 in grid-local coords.
+    tcap: optional per-lane t ceiling (shadow rays pass their light
+    distance — marching past it cannot change the visibility verdict;
+    same contract as ops/pallas/trace_proc). Every t_max comparison in
+    the march body broadcasts, so the vector rides the scalar's path.
     """
     pw = ps if isinstance(ps, ProcWorld) else assemble(ps, pd)
     shape = origin.shape[:-1]
@@ -330,7 +335,10 @@ def trace_proc(
     d = direction.reshape(-1, 3).astype(jnp.float32)
     n = o.shape[0]
 
-    h = _setup(pw, o, d, t_min, t_max)
+    tv = t_max if tcap is None else jnp.minimum(
+        jnp.float32(t_max), tcap.reshape(-1).astype(jnp.float32)
+    )
+    h = _setup(pw, o, d, t_min, tv)
     state = _init(h)
     body = _body(h)
     max_steps = h["max_steps"]
@@ -367,7 +375,10 @@ def trace_proc(
     s_tl = jnp.take(s1["cur_tl"], s_ids)
     was_alive = jnp.take(s1["alive"], s_ids, axis=0)
 
-    h2 = _setup(pw, o2, d2, t_min, t_max)
+    h2 = _setup(
+        pw, o2, d2, t_min,
+        tv if tcap is None else jnp.take(tv, s_ids),
+    )
     state2 = dict(
         alive=was_alive,
         cx=(s_cellpack >> 20) & 1023,

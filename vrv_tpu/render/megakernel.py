@@ -222,11 +222,11 @@ def render_samples(
         """Dispatch a flat ray batch to the configured tracer — the bounce
         traces and (split mode) the batched shadow rays use the same path.
 
-        tcap (pallas only): per-lane t ceiling. Shadow rays pass their
+        tcap (proc tracers): per-lane t ceiling. Shadow rays pass their
         light distance — hits beyond it cannot flip the visibility rule
         below, so the capped trace yields the identical verdict while
-        skipping the march past the light (the XLA backend ignores the
-        cap; both backends produce the same `vis`)."""
+        skipping the march past the light (both backends honor the cap
+        and produce the same `vis`)."""
         if cfg.tracer == "proc" and proc_static is not None:
             if use_pallas:
                 from vrv_tpu.ops.pallas.trace_proc import trace_proc_pallas
@@ -243,6 +243,7 @@ def render_samples(
             return trace_proc(
                 proc_static._replace(use_coarse=cfg.proc_coarse),
                 o_tr, d_tr, t_min=cfg.t_min, t_max=cfg.t_max, pd=proc,
+                tcap=tcap,
             )
         if (cfg.tracer in ("rows", "proc")) and rows is not None:
             from vrv_tpu.ops.dda_rows import trace_rows_auto as trace_rows
