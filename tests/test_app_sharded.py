@@ -1,0 +1,44 @@
+"""App-level multi-device rendering (--sharded N).
+
+The CLI game loop renders frames across a ('samples' x 'rows') mesh via
+GameWorld.render_mesh -> Scene.render_sharded — the user-facing caller
+for parallel/render_pjit (previously reachable only from tests). Gate:
+the sharded app run produces the same frames as the single-device run
+within the established +/-1 u8 scatter-order band at >=99% exact pixels
+(tests/test_parallel.py's gate). Runs on the harness's 8 virtual CPU
+devices.
+"""
+
+import numpy as np
+
+from vrv_tpu import app
+
+
+def _run(tmp_path, name, extra):
+    out = tmp_path / name
+    argv = [
+        "--width", "16", "--height", "8", "--spp", "4", "--bounces", "2",
+        "--grid", "32", "--frames", "2", "--out", str(out),
+    ] + extra
+    assert app.main(argv) == 0
+    from PIL import Image
+
+    return np.asarray(Image.open(out)).astype(np.int32)
+
+
+def test_app_sharded_matches_single(tmp_path):
+    import jax
+
+    assert len(jax.devices()) >= 4, "harness must provide virtual devices"
+    single = _run(tmp_path, "single.png", [])
+    sharded = _run(tmp_path, "sharded.png", ["--sharded", "4"])
+    assert single.shape == sharded.shape
+    diff = np.abs(single - sharded)
+    assert diff.max() <= 1
+    assert (diff == 0).mean() >= 0.99
+    assert single.std() > 10  # non-trivial content
+
+
+def test_app_progressive_ignores_sharded(tmp_path, capsys):
+    img = _run(tmp_path, "prog.png", ["--sharded", "4", "--progressive"])
+    assert img.std() > 10

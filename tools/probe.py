@@ -128,6 +128,7 @@ def cmd_frame(args):
                  if m.startswith("sc") and m[2:].isdigit()),
                 0,
             ),
+            pallas_batched_shade="bs0" not in mods,
         )
 
         def frame(f=0, cfg=cfg, n_chunks=n_chunks):

@@ -56,7 +56,37 @@ def main(argv=None) -> int:
           f"{render_cfg.samples_per_pixel}spp/{render_cfg.max_bounces}b "
           f"mode={render_cfg.mode}")
 
+    if args.multihost:
+        # DCN scale-out: after the bootstrap, jax.devices() spans all
+        # hosts and the same mesh + psum path applies unchanged
+        from vrv_tpu.parallel.multihost import initialize, is_primary
+
+        coord, nproc, pid = args.multihost.split(",")
+        n = initialize(coord, int(nproc), int(pid))
+        print(f"multihost: {n} global devices, primary={is_primary()}")
+
     gw = build_world(render_cfg, world_cfg, streaming=args.infinite)
+    # seed the camera's LIVE spp preference (quirk Q1: spp rides the
+    # camera, and ego Tab-cycling can change it later) from --spp — the
+    # camera default of 1 was silently overriding the CLI value, while
+    # the fps meter counted --spp rays
+    from vrv_tpu.camera import RenderingPreferences
+
+    gw.camera.set_rendering_preferences(
+        RenderingPreferences(samples=render_cfg.samples_per_pixel)
+    )
+    if args.sharded:
+        if args.progressive:
+            print("--progressive renders single-device (radiance "
+                  "accumulation); ignoring --sharded", file=sys.stderr)
+        else:
+            from vrv_tpu.parallel.mesh import make_render_mesh
+
+            gw.render_mesh = make_render_mesh(
+                args.sharded, spp=render_cfg.samples_per_pixel,
+                height=render_cfg.height,
+            )
+            print(f"sharded: mesh {dict(gw.render_mesh.shape)}")
     meter = FrameMeter()
     rays_per_frame = (
         render_cfg.width * render_cfg.height

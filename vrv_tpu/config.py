@@ -199,6 +199,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--tracer", choices=["proc", "rows", "skip", "exact"], default="proc")
     p.add_argument("--no-beam", action="store_true",
                    help="disable the primary-ray beam pre-pass (debugging)")
+    p.add_argument("--sharded", type=int, default=0, metavar="N",
+                   help="render frames across N devices on a "
+                        "('samples' x 'rows') mesh (0 = single-device)")
+    p.add_argument("--multihost", default="", metavar="ADDR,NPROC,PID",
+                   help="multi-host bootstrap: coordinator address, "
+                        "process count, this process id "
+                        "(parallel/multihost.initialize)")
     p.add_argument("--frames", type=int, default=1)
     p.add_argument("--frames-in-flight", type=int, default=3,
                    help="async dispatch depth (reference keeps 3 swapchain "

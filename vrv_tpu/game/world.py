@@ -227,6 +227,10 @@ class GameWorld:
         self.frame: int = 0
         self.last_frame: Optional[np.ndarray] = None
         self.frame_stats: Dict[str, float] = {}
+        # optional ('samples' x 'rows') jax.sharding.Mesh: frames render
+        # across it via Scene.render_sharded (app --sharded N); radiance
+        # (progressive) steps stay single-device
+        self.render_mesh = None
 
         chunk_manager = ChunkManager(scene, generate=streaming)
         self.chunk_querier = ChunkQuerier(scene)
@@ -321,6 +325,10 @@ class GameWorld:
                 img = self.scene.render_samples(
                     eye, front, right, up, self.frame, cfg
                 ).mean(axis=0)
+            elif self.render_mesh is not None:
+                img = self.scene.render_sharded(
+                    self.render_mesh, eye, front, right, up, self.frame, cfg
+                )
             else:
                 img = self.scene.render(eye, front, right, up, self.frame, cfg)
             self.last_frame = img

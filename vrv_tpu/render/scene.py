@@ -556,6 +556,34 @@ class Scene:
             jnp.uint32(frame),
         )
 
+    def render_sharded(self, mesh, eye, front, right, up, frame: int,
+                       cfg: RenderConfig) -> jax.Array:
+        """One frame across a ('samples' x 'rows') device mesh -> (H, W, 4)
+        u8 BGRA. Same tracer dispatch as render() per shard (incl. the
+        procedural bundle); the only steady-state collective is the
+        sample-merge psum (parallel/render_pjit.py)."""
+        from vrv_tpu.parallel.render_pjit import jit_render_sharded
+
+        ps, pa = self._proc_for(cfg)
+        fn = jit_render_sharded(mesh, cfg, self.bvh_max_depth,
+                                self.bvh_device is not None, ps,
+                                self.light_tex_set, self.inst_static)
+        return fn(
+            self.grid,
+            self.translucent,
+            self.materials,
+            self.bvh_device,
+            self.dist,
+            self.instances_device,
+            self.rows,
+            pa,
+            self.camera_to_local(eye),
+            jnp.asarray(front, jnp.float32),
+            jnp.asarray(right, jnp.float32),
+            jnp.asarray(up, jnp.float32),
+            jnp.uint32(frame),
+        )
+
     def render_samples(self, eye, front, right, up, frame: int, cfg: RenderConfig) -> jax.Array:
         ps, pa = self._proc_for(cfg)
         fn = _jit_render_samples(cfg, self.bvh_max_depth, self.bvh_device is not None,
