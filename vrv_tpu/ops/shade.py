@@ -328,12 +328,23 @@ def shade_resolved(
     direct = sdir = sdist = w_out = None
     if bvh is not None and nee_mode == "split":
         # shadow-ray NEE (see docstring): continuation stays cosine; the
-        # direct term is w * BRDF * cos_x * E_y * cos_l * A_vis /
-        # (P(leaf) * dist^2), E_y evaluated with the chain's own emission
-        # convention gain * tex * cos_l (pathtrace_shader.rs:754) — the
-        # caller multiplies by shadow-ray visibility and path throughput.
-        # Small light sets sample via the flat list (nee.sample_light_flat,
-        # the production path); the descent remains the >cap fallback.
+        # direct term estimates w * C where C is the single-scatter
+        # integral the pure cosine chain estimates (the no-NEE reference
+        # semantics): C = int (rho/pi) * E_y * (cos_x/pi) * (cos_l/d^2) dA
+        # with E_y = gain * tex * cos_l (the chain's own emission pickup
+        # convention, pathtrace_shader.rs:754). Hence
+        #   direct = w * (rho/pi) * (cos_x/pi) * E_y * cos_l / (pdf_A d^2)
+        # — note BOTH 1/pi factors: BRDF and the cosine-pdf's, exactly as
+        # the chain carries them. (An earlier formulation dropped the
+        # pdf's 1/pi, rendering lamps ~(1 + w(pi-1))x too bright — caught
+        # by the absolute quadrature anchor in tests/test_analytic.py;
+        # the split-vs-mixture gate alone missed it because sky radiance
+        # dominates that scene.) The complementary (1 - w) scaling of the
+        # next bounce's surface-emission pickup makes the split total
+        # equal C in expectation. The caller multiplies by shadow-ray
+        # visibility and path throughput. Small light sets sample via the
+        # flat list (nee.sample_light_flat, the production path); the
+        # descent remains the >cap fallback.
         if bvh.get("flat") is not None:
             ls = nee.sample_light_flat(
                 new_origin, normal, seed, bvh["flat"],
@@ -367,7 +378,8 @@ def shade_resolved(
         )
         direct = jnp.where(
             ok[:, None],
-            ls.w[:, None] * refl_lambert * cos_x[:, None] * e_y * geo[:, None],
+            ls.w[:, None] * refl_lambert * (cos_x / _PI)[:, None]
+            * e_y * geo[:, None],
             0.0,
         )
         # degenerate dir for unsampled rays: the tracer retires them at init
