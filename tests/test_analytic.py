@@ -123,6 +123,45 @@ def test_flat_slab_closed_form(block_table):
     assert (np.abs(img1 - expected1) < 1e-3).all(axis=-1).mean() >= 0.95
 
 
+def test_mirror_slab_closed_form(block_table):
+    """Mirror branch: L == reflectivity(texel) * 50 exactly (the metallic
+    branch multiplies by the raw texture rgb — no 1/pi — and the
+    reflected ray escapes to the sky deterministically)."""
+    wc = WorldConfig(size=(G, G, G), origin=(0, 0, 0), seed=0)
+    sc = Scene(wc, table=block_table)
+    mirror = block_table.block_idx("mirror")
+    grid = np.full((G, G, G), block_table.air, np.uint8)
+    grid[:, SLAB_Y:, :] = mirror
+    sc.set_grid(grid, (0, 0, 0))
+
+    metal = np.asarray(sc.materials["metallicity"])
+    assert (metal[mirror * 6 + 2] == 1.0).all()  # branch is deterministic
+
+    W, H = 24, 16
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=1,
+                       max_bounces=3, tracer="rows", jitter_scale=0.0)
+    eye = np.array([16.0, 12.0, 14.0], np.float32)
+    front, right, up = _cam_down()
+    img = np.asarray(sc.render_samples(eye, front, right, up, 0, cfg))[0]
+
+    o, d, _ = raygen(jnp.asarray(eye), jnp.asarray(front),
+                     jnp.asarray(right), jnp.asarray(up),
+                     W, H, 1, jnp.uint32(0), jitter_scale=0.0)
+    o = np.asarray(o)[0].reshape(-1, 3)
+    d = np.asarray(d)[0].reshape(-1, 3)
+    t = (SLAB_Y - o[:, 1]) / d[:, 1]
+    px = o + t[:, None] * d
+    hits = (d[:, 1] > 0) & (px[:, 0] >= 0) & (px[:, 0] < G) \
+        & (px[:, 2] >= 0) & (px[:, 2] < G)
+    tx = np.clip(((px[:, 0] - np.floor(px[:, 0])) * 16).astype(np.int32), 0, 15)
+    ty = np.clip(((px[:, 2] - np.floor(px[:, 2])) * 16).astype(np.int32), 0, 15)
+    refl = np.asarray(sc.materials["reflectivity"])
+    rho = refl[mirror * 6 + 2, ty, tx, :3]
+    expected = np.where(hits[:, None], 50.0 * rho, 50.0).reshape(H, W, 3)
+    exact = (np.abs(img - expected) < 1e-3).all(axis=-1)
+    assert exact.mean() >= 0.95, f"only {exact.mean():.2%} pixels match"
+
+
 def _quadrature(sc, block_table, P, rho_P, gain, m=48):
     """Single-scatter integral at floor point P via midpoint rule over
     the lamp's four exposed side faces (the cosine-lobed emitter)."""
@@ -239,3 +278,47 @@ def test_lamp_single_scatter_matches_quadrature(block_table):
             f"{mode}: est {est} vs quadrature {truth} (sem {sem})"
         )
         assert (truth > 1e-2).any()  # non-vacuous: the lamp actually lights
+
+
+def test_lamp_direct_view_closed_form(block_table):
+    """Emission convention: a pixel looking straight at a lamp face reads
+    EXACTLY gain * te(texel) * cos(view angle) at max_bounces=1 — the
+    cosine-lobed emitter of pathtrace_shader.rs:754, deterministic."""
+    sc = _slab_scene(block_table, lamp_cell=(16, 23, 16))
+    W, H = 24, 16
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=1,
+                       max_bounces=1, tracer="rows", jitter_scale=0.0,
+                       sky_emission=0.0)
+    # straight down just over the lamp (it must subtend many pixels):
+    # every lamp-view ray enters its -y face
+    eye = np.array([16.5, 21.8, 16.5], np.float32)
+    front = np.array([0.0, 1.0, 0.0], np.float32)
+    right = np.array([-1.0, 0.0, 0.0], np.float32)
+    up = np.array([0.0, 0.0, 1.0], np.float32)
+    img = np.asarray(sc.render_samples(eye, front, right, up, 0, cfg))[0]
+
+    o, d, _ = raygen(jnp.asarray(eye), jnp.asarray(front),
+                     jnp.asarray(right), jnp.asarray(up),
+                     W, H, 1, jnp.uint32(0), jitter_scale=0.0)
+    o = np.asarray(o)[0].reshape(-1, 3)
+    d = np.asarray(d)[0].reshape(-1, 3)
+    t = (23.0 - o[:, 1]) / d[:, 1]                    # lamp top plane
+    px = o + t[:, None] * d
+    on_lamp = (
+        (px[:, 0] >= 16.02) & (px[:, 0] <= 16.98)
+        & (px[:, 2] >= 16.02) & (px[:, 2] <= 16.98)   # margins: edge ulps
+    )
+    assert on_lamp.sum() >= 20
+    tx = np.clip(((px[:, 0] - 16.0) * 16).astype(np.int32), 0, 15)
+    ty = np.clip(((px[:, 2] - 16.0) * 16).astype(np.int32), 0, 15)
+    emis = np.asarray(sc.materials["emissivity"])
+    lamp = block_table.block_idx("lamp")
+    te = emis[lamp * 6 + 2, ty, tx]                   # 'down' face texels
+    cos_v = d[:, 1]                                   # -d . (0,-1,0)
+    expected = cfg.emission_gain * te * cos_v[:, None]
+
+    got = img.reshape(-1, 3)[on_lamp]
+    want = expected[on_lamp]
+    rel = np.abs(got - want) / np.maximum(want, 1e-3)
+    ok = (rel < 1e-3).all(axis=-1)
+    assert ok.mean() >= 0.9, f"only {ok.mean():.2%} lamp pixels match"
