@@ -41,42 +41,71 @@ def main() -> int:
     # identical sample count and statistics, but an 8x smaller XLA graph
     # (this environment's remote-compile tunnel makes giant graphs
     # prohibitively slow to build)
-    CHUNKS = 8
-    cfg = RenderConfig(width=800, height=600, samples_per_pixel=1, max_bounces=4)
+    # BENCH_SMOKE=1: tiny-shape end-to-end validation of this script
+    # (CPU-runnable; used by tests — the measured numbers are meaningless)
+    SMOKE = os.environ.get("BENCH_SMOKE") == "1"
+    CHUNKS = 2 if SMOKE else 8
+    cfg = RenderConfig(width=64 if SMOKE else 800,
+                       height=48 if SMOKE else 600,
+                       samples_per_pixel=1, max_bounces=4)
 
     # the graded scene — identical to the driver-checked entry point
     import __graft_entry__ as ge
 
-    scene, (eye, front, right, up) = ge._scene_args(128, cfg)
+    scene, (eye, front, right, up) = ge._scene_args(32 if SMOKE else 128, cfg)
     assert scene.proc_static is not None and scene.proc_static.n_edits > 0
     assert scene.bvh_device is not None  # the lamp feeds the light BVH
 
     from vrv_tpu.render.megakernel import pack_bgra
 
-    def run(frame, sc=scene):
+    def run(frame, sc=scene, c=None):
+        c = c or cfg
         acc = None
-        for c in range(CHUNKS):
+        for ch in range(CHUNKS):
             smp = sc.render_samples(
-                eye, front, right, up, frame * CHUNKS + c, cfg
+                eye, front, right, up, frame * CHUNKS + ch, c
             ).sum(axis=0)
             acc = smp if acc is None else acc + smp
         return pack_bgra(acc / CHUNKS)
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
-    t0 = time.perf_counter()
-    np.asarray(run(0))  # force full materialization (tunnel-safe timing)
-    print(f"compile+first frame: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    # timed frames (distinct frame ids = realistic reseeding)
-    n = 8
-    t0 = time.perf_counter()
-    imgs = [run(i + 1) for i in range(n)]
-    np.asarray(imgs[-1])
-    dt = time.perf_counter() - t0
-    fps = n / dt
+    # headline measurement ladder: the production config first; if a
+    # freshly-landed kernel feature fails to compile/run on the real
+    # chip, fall back feature-by-feature so the round still records a
+    # number (the JSON's "scene" field names the rung that ran)
+    ladder = [
+        ("entry (lamp + edit: NEE + in-kernel edit list)", cfg),
+        ("entry, batched shading off",
+         cfg.replace(pallas_batched_shade=False)),
+        ("entry, NEE off (shadow-kernel fallback)",
+         cfg.replace(enable_nee=False)),
+        ("entry, xla tracer (pallas fallback)",
+         cfg.replace(proc_backend="xla")),
+    ]
+    n = 2 if SMOKE else 8
+    fps = 0.0
+    scene_label = "none"
+    for label, c in ladder:
+        try:
+            t0 = time.perf_counter()
+            np.asarray(run(0, c=c))  # force materialization (tunnel-safe)
+            print(f"[{label}] compile+first frame: "
+                  f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+            # timed frames (distinct frame ids = realistic reseeding)
+            t0 = time.perf_counter()
+            imgs = [run(i + 1, c=c) for i in range(n)]
+            np.asarray(imgs[-1])
+            dt = time.perf_counter() - t0
+            fps = n / dt
+            scene_label = label
+            break
+        except Exception as e:  # pragma: no cover - hardware-path guard
+            print(f"[{label}] FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr)
     rays = cfg.width * cfg.height * CHUNKS * cfg.max_bounces * fps
     print(
-        f"{fps:.3f} fps  {rays:.3e} paths*bounce/s  frame {dt / n * 1e3:.1f} ms",
+        f"{fps:.3f} fps  {rays:.3e} paths*bounce/s",
         file=sys.stderr,
     )
 
@@ -85,16 +114,21 @@ def main() -> int:
     from vrv_tpu.config import WorldConfig
     from vrv_tpu.render.scene import Scene
 
-    g = 128
-    pristine = Scene(
-        WorldConfig(size=(g, g, g), origin=(-g // 2, -g // 2, -g // 2), seed=0)
-    )
-    np.asarray(run(0, pristine))
-    t0 = time.perf_counter()
-    for i in range(n):
-        img = run(i + 1, pristine)
-    np.asarray(img)
-    pristine_fps = n / (time.perf_counter() - t0)
+    g = 32 if SMOKE else 128
+    pristine_fps = 0.0
+    try:
+        pristine = Scene(
+            WorldConfig(size=(g, g, g), origin=(-g // 2, -g // 2, -g // 2),
+                        seed=0)
+        )
+        np.asarray(run(0, pristine))
+        t0 = time.perf_counter()
+        for i in range(n):
+            img = run(i + 1, pristine)
+        np.asarray(img)
+        pristine_fps = n / (time.perf_counter() - t0)
+    except Exception as e:  # pragma: no cover - hardware-path guard
+        print(f"[pristine] FAILED: {type(e).__name__}: {e}", file=sys.stderr)
     print(f"pristine (fused kernel): {pristine_fps:.3f} fps", file=sys.stderr)
 
     # --- the reference's other two published rows (README.md:8-9, :31) ---
@@ -108,11 +142,16 @@ def main() -> int:
         return pack_bgra(acc / chunks)
 
     # 128-spp converged (reference: 3 fps)
-    np.asarray(run_chunks(0, 128))
-    t0 = time.perf_counter()
-    np.asarray(run_chunks(1, 128))
-    np.asarray(run_chunks(2, 128))
-    conv_fps = 2 / (time.perf_counter() - t0)
+    conv_fps = 0.0
+    conv_chunks = 8 if SMOKE else 128
+    try:
+        np.asarray(run_chunks(0, conv_chunks))
+        t0 = time.perf_counter()
+        np.asarray(run_chunks(1, conv_chunks))
+        np.asarray(run_chunks(2, conv_chunks))
+        conv_fps = 2 / (time.perf_counter() - t0)
+    except Exception as e:  # pragma: no cover - hardware-path guard
+        print(f"[converged] FAILED: {type(e).__name__}: {e}", file=sys.stderr)
     print(f"converged 128spp: {conv_fps:.3f} fps (ref 3)", file=sys.stderr)
 
     # wavefront vs megakernel at 4 spp / 4 bounces (reference README.md:31),
@@ -127,12 +166,17 @@ def main() -> int:
                 img = scene.render(eye, front, right, up, i * 4 + c, cfgm)
             return img
 
-        np.asarray(f(0))
-        t0 = time.perf_counter()
-        for i in range(4):
-            img = f(i + 1)
-        np.asarray(img)
-        mode_fps[mode] = 4 / (time.perf_counter() - t0)
+        try:
+            np.asarray(f(0))
+            t0 = time.perf_counter()
+            for i in range(4):
+                img = f(i + 1)
+            np.asarray(img)
+            mode_fps[mode] = 4 / (time.perf_counter() - t0)
+        except Exception as e:  # pragma: no cover - hardware-path guard
+            print(f"[{mode}] FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            mode_fps[mode] = 0.0
     print(
         f"4spp/4b megakernel {mode_fps['megakernel']:.3f} fps, "
         f"wavefront {mode_fps['wavefront']:.3f} fps", file=sys.stderr,
@@ -143,7 +187,7 @@ def main() -> int:
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-        "scene": "entry (lamp + edit: NEE + in-kernel edit list)",
+        "scene": scene_label,
         "pristine_fused_fps": round(pristine_fps, 3),
         "converged_128spp_fps": round(conv_fps, 3),
         "converged_128spp_vs_baseline": round(conv_fps / 3.0, 3),
