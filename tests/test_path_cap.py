@@ -49,10 +49,10 @@ def test_step_cap_bit_identical(block_table, cap):
     sc = Scene(wc, table=block_table)
     ps, pd = sc.proc_static, sc.proc_arrays
     o, d, seeds, B = _rays(sc)
-    ref_tr, ref_d, _ = trace_path_pallas(
+    ref_tr, ref_d, _, _ = trace_path_pallas(
         ps, o, d, seeds, B, pd=pd, interpret=True, unroll=1,
     )
-    cap_tr, cap_d, _ = trace_path_pallas(
+    cap_tr, cap_d, _, _ = trace_path_pallas(
         ps, o, d, seeds, B, pd=pd, interpret=True, unroll=1, step_cap=cap,
     )
     for b in range(B):

@@ -95,7 +95,7 @@ def test_fused_path_records_match_staged_traces(block_table, interpret_pallas):
     o = o.reshape(n, 3)
     d = d.reshape(n, 3)
     seeds = seeds.reshape(n)
-    traces, dirs, _ = trace_path_pallas(
+    traces, dirs, _, _ = trace_path_pallas(
         sc.proc_static, o, d, seeds, B, pd=sc.proc_arrays, interpret=True,
         unroll=1,
     )
@@ -285,7 +285,7 @@ def test_fused_path_edge_ray_classes(block_table, interpret_pallas):
     d[3] = [1, 0, 0]         # enters through the -x boundary
     seeds = rng_.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
 
-    traces, dirs, _ = trace_path_pallas(
+    traces, dirs, _, _ = trace_path_pallas(
         sc.proc_static, jnp.asarray(o), jnp.asarray(d), jnp.asarray(seeds),
         3, pd=sc.proc_arrays, interpret=True, unroll=1,
     )

@@ -152,7 +152,7 @@ def test_upcert_fused_path_kernel(block_table):
     )
     n = H * W
     o, d, seeds = o.reshape(n, 3), d.reshape(n, 3), seeds.reshape(n)
-    traces, dirs, _ = trace_path_pallas(
+    traces, dirs, _, _ = trace_path_pallas(
         ps, o, d, seeds, B, pd=pd, interpret=True, unroll=1,
     )
     # bounce 0 equals the plain XLA trace bit-for-bit; later bounces

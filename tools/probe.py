@@ -129,6 +129,7 @@ def cmd_frame(args):
                 0,
             ),
             pallas_batched_shade="bs0" not in mods,
+            pallas_inkernel_nee="iknee" in mods,
         )
 
         def frame(f=0, cfg=cfg, n_chunks=n_chunks):

@@ -106,6 +106,13 @@ class RenderConfig:
     # per-bounce shade/NEE fusions collapse into one fusion set
     # (row-independent math -> bit-identical; tests/test_batched_shade.py)
     pallas_batched_shade: bool = True
+    # in-kernel NEE: the fused path kernel samples the flat light list
+    # per bounce and marches the shadow ray as a sub-phase (no separate
+    # shadow kernel launch; a block's cost is max over lanes of
+    # path+shadow steps instead of the two kernels' independent maxima).
+    # Requires batched shading + the flat light list. OFF until measured
+    # on-chip (the kernel grows register/VMEM state).
+    pallas_inkernel_nee: bool = False
     # fused path kernel tail restart: pass 1 stops after ~this many march
     # steps; a second launch re-traces only the unfinished lanes (their
     # blocks) with the full budget. Bit-identical (deterministic per-lane

@@ -302,8 +302,8 @@ class LightSample(NamedTuple):
 
 
 def sample_light_flat(point, normal, seed, flat,
-                      importance_scale: float = 10.0, mis_clamp: float = 0.5
-                      ) -> LightSample:
+                      importance_scale: float = 10.0, mis_clamp: float = 0.5,
+                      sel_idx=None) -> LightSample:
     """Flat-list light sampling for small light sets (<= ~64 triangles).
 
     TPU-first redesign of the stochastic BVH descent for the scale the
@@ -350,11 +350,18 @@ def sample_light_flat(point, normal, seed, flat,
 
     cum = jnp.cumsum(imp, axis=1)
     W = cum[:, -1]                                      # == selection total
-    r = rng.draw(seed, 7) * W
-    prev = jnp.concatenate(
-        [jnp.zeros((n, 1), f32), cum[:, :-1]], axis=1
-    )
-    sel = (cum > r[:, None]) & (prev <= r[:, None])     # exclusive one-hot
+    if sel_idx is not None:
+        # pre-chosen light (the fused kernel's in-kernel NEE records the
+        # selection it marched a shadow ray for; -1 = no sample) — the
+        # pdf bookkeeping below is unchanged, the draw-7 selection is
+        # simply replaced by the recorded index
+        sel = sel_idx[:, None] == jnp.arange(L, dtype=jnp.int32)[None, :]
+    else:
+        r = rng.draw(seed, 7) * W
+        prev = jnp.concatenate(
+            [jnp.zeros((n, 1), f32), cum[:, :-1]], axis=1
+        )
+        sel = (cum > r[:, None]) & (prev <= r[:, None])  # exclusive one-hot
     # chosen-light features via one one-hot MXU matmul (no row gathers)
     feats = jnp.concatenate(
         [

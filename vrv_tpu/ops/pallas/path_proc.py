@@ -110,8 +110,18 @@ def _combine(h, k):
 def _path_kernel(
     *refs,
     ps, t_min, t_max, n_bounces, unroll, coarse, retire_cond=True, n_inst=0,
-    inst_mat=None, step_cap=0, has_done=False,
+    inst_mat=None, step_cap=0, has_done=False, n_lights=0,
 ):
+    """n_lights > 0 enables IN-KERNEL split NEE: after each non-last
+    lambert hit the lane samples a light from the flat list (SMEM rows,
+    exactly ops/nee.sample_light_flat's importance math and draw slots
+    7/8/9), marches the shadow ray to its light distance as a sub-phase
+    (tcap'd — marching past the light cannot change visibility), records
+    the chosen light index + visibility bit, then resumes the saved
+    cosine continuation. The XLA side recomputes the direct term from
+    (index, draws) — pathtrace_shader.rs:779-872's in-kernel NEE, the
+    TPU way (the emission texel fetch stays outside; VERDICT r2 item 2's
+    follow-through)."""
     f32 = jnp.float32
     i32 = jnp.int32
     X, Y, Z = ps.shape
@@ -141,6 +151,24 @@ def _path_kernel(
             [iv_ref[j * 16 + c] for c in range(16)] for j in range(n_inst)
         ]
         inst_alpha_words, inst_metal = inst_mat
+    if n_lights:
+        # flat light list rows (SMEM, read once): [v0(3)|v1(3)|v2(3)|power]
+        # — the same padded arrays ops/nee.sample_light_flat consumes, so
+        # in-kernel importance/selection matches the XLA sampler's values
+        lv_ref = refs[k]
+        k += 1
+        light_rows = [
+            [lv_ref[j * 10 + c] for c in range(10)] for j in range(n_lights)
+        ]
+        # per-light centroids (loop-invariant scalar math)
+        light_ctr = [
+            (
+                (r[0] + r[3] + r[6]) / 3.0,
+                (r[1] + r[4] + r[7]) / 3.0,
+                (r[2] + r[5] + r[8]) / 3.0,
+            )
+            for r in light_rows
+        ]
     (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
      seed_ref), rest = refs[k:k + 7], refs[k + 7:]
     if has_done:
@@ -320,6 +348,8 @@ def _path_kernel(
     out_d = [(zf, zf, zf) for _ in range(B - 1)]  # dirs for bounces 1..B-1
     # instance-hit records per bounce: (prim or -1, bary u, bary v)
     out_i = [(zi - 1, zf, zf) for _ in range(B)] if n_inst else []
+    # in-kernel NEE records per non-last bounce: (light idx or -1, vis)
+    out_s = [(zi - 1, zi) for _ in range(B - 1)] if n_lights else []
 
     if n_inst:
         ihit0, it0, ij0, iu0, iv0 = inst_intersect(
@@ -328,6 +358,10 @@ def _path_kernel(
         inst_st = (ihit0.astype(i32), it0, ij0, iu0, iv0)
     else:
         inst_st = ()
+    # shadow sub-phase registers: in_shadow flag, the saved cosine
+    # continuation direction, and the shadow ray's t ceiling
+    sh_st = (zi, zf, zf, zf, jnp.full_like(ox0, f32(t_max))) if n_lights \
+        else ()
 
     pb0 = jnp.zeros_like(cx)
     if has_done:
@@ -338,13 +372,16 @@ def _path_kernel(
         cx, cy, cz,
         cur_solid.astype(i32), mhit.astype(i32), mdead.astype(i32),
         t, face, hx, hy, hz, entering.astype(i32),
-        inst_st,
+        inst_st, sh_st,
         tuple(out_t), tuple(out_packed), tuple(out_d), tuple(out_i),
+        tuple(out_s),
         jnp.int32(0),                           # chunk counter
     )
 
     max_steps_bounce = int(X + Y + Z + 3)
-    max_chunks = (B * max_steps_bounce) // max(1, unroll) + 2 * B + 2
+    n_marches = B + (B - 1 if n_lights else 0)   # paths + shadow sub-phases
+    max_chunks = (n_marches * max_steps_bounce) // max(1, unroll) \
+        + 2 * n_marches + 2
     if step_cap:
         # capped pass 1 of the tail restart: stop after ~step_cap march
         # steps; unfinished lanes are re-traced from scratch by pass 2
@@ -357,12 +394,14 @@ def _path_kernel(
     def march_step(s):
         (pbounce, ox, oy, oz, dx, dy, dz, ix, iy, iz, scx, scy, scz,
          cur_solid_i, mhit_i, mdead_i, t, face, hx, hy, hz, entering_i,
-         inst_st, o_t, o_p, o_d, o_i, chunks) = s
+         inst_st, sh_st, o_t, o_p, o_d, o_i, o_s, chunks) = s
         cur_solid = cur_solid_i != 0
         mhit = mhit_i != 0
         mdead = mdead_i != 0
         entering = entering_i != 0
         marching = (pbounce < B) & ~mhit & ~mdead
+        # shadow lanes march to their light distance, not the grid exit
+        tmax_v = jnp.minimum(f32(t_max), sh_st[4]) if n_lights else f32(t_max)
 
         bigx = jnp.abs(dx) < tiny
         bigy = jnp.abs(dy) < tiny
@@ -434,7 +473,7 @@ def _path_kernel(
             skip_inside = (
                 (kx >= 0) & (kx < X) & (ky >= 0) & (ky < Y) & (kz >= 0) & (kz < Z)
             )
-            skip_out = ~skip_inside | (t_skip > f32(t_max))
+            skip_out = ~skip_inside | (t_skip > tmax_v)
             can_skip = (
                 marching & cert
                 & ((kx != scx) | (ky != scy) | (kz != scz))
@@ -468,7 +507,7 @@ def _path_kernel(
 
         entering_hit = new_solid & ~cur_solid & ~can_skip
         exiting_hit = cur_solid & ~new_solid & ~can_skip
-        in_range = (t_next >= f32(t_min)) & (t_next <= f32(t_max))
+        in_range = (t_next >= f32(t_min)) & (t_next <= tmax_v)
         any_hit = marching & in_range & (entering_hit | exiting_hit)
         nface = jnp.where(
             entering_hit,
@@ -477,7 +516,7 @@ def _path_kernel(
         ).astype(i32)
 
         rec = any_hit & ~mhit
-        dead_exact = ~inside_exact | (t_next > f32(t_max))
+        dead_exact = ~inside_exact | (t_next > tmax_v)
         dead_now = marching & ~any_hit & (
             (can_skip & skip_out) | (~can_skip & dead_exact)
         )
@@ -511,18 +550,26 @@ def _path_kernel(
             jnp.where(rec, jnp.where(entering_hit, ny, scy), hy),
             jnp.where(rec, jnp.where(entering_hit, nz, scz), hz),
             ((rec & entering_hit) | (~rec & entering)).astype(i32),
-            inst_st, o_t, o_p, o_d, o_i, chunks,
+            inst_st, sh_st, o_t, o_p, o_d, o_i, o_s, chunks,
         )
 
     def retire(s):
         (pbounce, ox, oy, oz, dx, dy, dz, ix, iy, iz, scx, scy, scz,
          cur_solid_i, mhit_i, mdead_i, t, face, hx, hy, hz, entering_i,
-         inst_st, o_t, o_p, o_d, o_i, chunks) = s
+         inst_st, sh_st, o_t, o_p, o_d, o_i, o_s, chunks) = s
         mhit = mhit_i != 0
         mdead = mdead_i != 0
         entering = entering_i != 0
         active = pbounce < B
         resolved = active & (mhit | mdead)
+        # shadow sub-phase lanes resolve into a visibility verdict, not a
+        # path record
+        if n_lights:
+            in_sh = sh_st[0] != 0
+            path_res = resolved & ~in_sh
+            sh_res = resolved & in_sh
+        else:
+            path_res = resolved
 
         # --- instance-vs-voxel resolution (do_bounce's use_inst rule:
         # the instance wins iff it hit and the voxel either missed or
@@ -538,6 +585,21 @@ def _path_kernel(
             vox_hit = mhit
             t_fin = t
 
+        if n_lights:
+            # shadow verdict (megakernel's vis rule with tcap == dist-eps:
+            # an occluder is any voxel or instance hit strictly before the
+            # light): record per-bounce, then resume the saved continuation
+            stc = sh_st[4]
+            occl = mhit & (t < stc)
+            if n_inst:
+                occl = occl | (ihit & (it_ < stc))
+            svis = (~occl).astype(i32)
+            o_s = list(o_s)
+            for b in range(B - 1):
+                selv = sh_res & (pbounce == b)
+                sb_i, sb_v = o_s[b]
+                o_s[b] = (sb_i, jnp.where(selv, svis, sb_v))
+
         packed = (
             vox_hit.astype(i32)
             | (entering.astype(i32) << 1)
@@ -551,7 +613,7 @@ def _path_kernel(
         o_d = list(o_d)
         o_i = list(o_i)
         for b in range(B):
-            sel = resolved & (pbounce == b)
+            sel = path_res & (pbounce == b)
             o_t[b] = jnp.where(sel, t_fin, o_t[b])
             o_p[b] = jnp.where(sel, packed, o_p[b])
             if n_inst:
@@ -566,7 +628,7 @@ def _path_kernel(
         # --- sample the next bounce for resolved HITS (voxel hits are
         # statically lambert; instance hits branch on their per-triangle
         # constant metallicity/alpha) ---
-        advance = resolved & (mhit | inst_wins) & (pbounce < B - 1)
+        advance = path_res & (mhit | inst_wins) & (pbounce < B - 1)
         seed_b = _combine(seed0, pbounce.astype(jnp.uint32))
         r4 = _draw(seed_b, 4)
         r5 = _draw(seed_b, 5)
@@ -699,6 +761,102 @@ def _path_kernel(
             hpy = jnp.where(inst_wins, ipy, hpy)
             hpz = jnp.where(inst_wins, ipz, hpz)
 
+        if n_lights:
+            # shading normal at the resolved hit (instance override when
+            # the instance won) — the light sampler's hemisphere
+            if n_inst:
+                nsx = jnp.where(inst_wins, inx, nx_)
+                nsy = jnp.where(inst_wins, iny, ny_)
+                nsz = jnp.where(inst_wins, inz, nz_)
+                lam = advance & (
+                    vox_hit | (inst_wins & ~is_mirror & ~is_trans)
+                )
+            else:
+                nsx, nsy, nsz = nx_, ny_, nz_
+                lam = advance
+
+            # --- flat light sampling: EXACTLY ops/nee.sample_light_flat's
+            # importance math and draw slots 7/8/9 (formula order mirrored
+            # so interpret mode matches the XLA sampler's values) ---
+            EPSB = f32(0.001)                  # intersect.EPSILON_BLOCK
+            r7 = _draw(seed_b, 7)
+            r8 = _draw(seed_b, 8)
+            r9 = _draw(seed_b, 9)
+
+            def light_imp(j):
+                r = light_rows[j]
+                vis_j = None
+                for vx, vy, vz in (
+                    (r[0], r[1], r[2]), (r[3], r[4], r[5]), (r[6], r[7], r[8])
+                ):
+                    dp = (
+                        (vx - hpx) * nsx + (vy - hpy) * nsy
+                    ) + (vz - hpz) * nsz
+                    vis_j = (dp >= EPSB) if vis_j is None else (
+                        vis_j | (dp >= EPSB)
+                    )
+                cxj, cyj, czj = light_ctr[j]
+                dcx, dcy, dcz = cxj - hpx, cyj - hpy, czj - hpz
+                d2c = (dcx * dcx + dcy * dcy) + dcz * dcz
+                return jnp.where(
+                    vis_j,
+                    light_rows[j][9] / jnp.maximum(d2c, f32(1e-30)),
+                    f32(0.0),
+                )
+
+            W = jnp.zeros_like(hpx)
+            for j in range(n_lights):
+                W = W + light_imp(j)
+            rW = r7 * W
+            cum = jnp.zeros_like(hpx)
+            found = jnp.zeros(hpx.shape, bool)
+            lidx = jnp.full_like(pbounce, -1)
+            impc = jnp.zeros_like(hpx)
+            cs = [jnp.zeros_like(hpx) for _ in range(9)]
+            for j in range(n_lights):
+                imp_j = light_imp(j)
+                cum = cum + imp_j
+                pick = (~found) & (cum > rW)
+                lidx = jnp.where(pick, i32(j), lidx)
+                impc = jnp.where(pick, imp_j, impc)
+                for c in range(9):
+                    cs[c] = jnp.where(pick, light_rows[j][c], cs[c])
+                found = found | pick
+
+            # uniform point on the chosen triangle (sqrt warp, slots 8/9)
+            su = jnp.sqrt(r8)
+            b0_ = 1.0 - su
+            b1_ = su * (1.0 - r9)
+            b2_ = su * r9
+            yx = (b0_ * cs[0] + b1_ * cs[3]) + b2_ * cs[6]
+            yy = (b0_ * cs[1] + b1_ * cs[4]) + b2_ * cs[7]
+            yz = (b0_ * cs[2] + b1_ * cs[5]) + b2_ * cs[8]
+            tox, toy, toz = yx - hpx, yy - hpy, yz - hpz
+            sdist = jnp.sqrt((tox * tox + toy * toy) + toz * toz)
+            sden = jnp.maximum(sdist, f32(1e-30))
+            sdx_, sdy_, sdz_ = tox / sden, toy / sden, toz / sden
+            cosx_ = (sdx_ * nsx + sdy_ * nsy) + sdz_ * nsz
+            # shadow t ceiling: dist - eps, megakernel's vis-rule epsilon
+            stc_new = sdist - (f32(1e-3) + f32(1e-3) * sdist)
+            has_s = (
+                found & (impc > 0.0) & (sdist > f32(1e-6)) & (cosx_ > 0.0)
+            )
+            launch = lam & has_s
+            # record the chosen index whenever a light was selected (the
+            # XLA side recomputes w from it, matching the pure-XLA split
+            # estimator's weight even where the direct term is zero and no
+            # shadow ray marches, e.g. cos_x <= 0); vis defaults to 1 for
+            # unmarched lanes — their direct term is zero by the XLA
+            # validity mask, so the bit never matters
+            recorded = found & (impc > 0.0)
+            for b in range(B - 1):
+                seli = advance & (pbounce == b)
+                sb_i, sb_v = o_s[b]
+                o_s[b] = (
+                    jnp.where(seli, jnp.where(recorded, lidx, -1), sb_i),
+                    jnp.where(seli & ~launch, 1, sb_v),
+                )
+
         for b in range(1, B):
             sel = advance & (pbounce == b - 1)
             odx, ody, odz = o_d[b - 1]
@@ -709,26 +867,66 @@ def _path_kernel(
             )
 
         # --- transition ---
+        # without lights: advance lanes re-init at the hit point with the
+        # sampled continuation; with lights, a sampled lane FIRST marches
+        # its shadow ray (launch), and a shadow-resolved lane resumes the
+        # saved continuation (sh_done) — both are fresh marches
+        if n_lights:
+            sh_done = sh_res
+            adv_direct = advance & ~launch
+            relaunch = advance | sh_done
+            n_dx = jnp.where(
+                launch, sdx_,
+                jnp.where(advance, ndx, jnp.where(sh_done, sh_st[1], dx)),
+            )
+            n_dy = jnp.where(
+                launch, sdy_,
+                jnp.where(advance, ndy, jnp.where(sh_done, sh_st[2], dy)),
+            )
+            n_dz = jnp.where(
+                launch, sdz_,
+                jnp.where(advance, ndz, jnp.where(sh_done, sh_st[3], dz)),
+            )
+            n_pbounce = jnp.where(
+                launch, pbounce,
+                jnp.where(
+                    adv_direct | sh_done, pbounce + 1,
+                    jnp.where(path_res, i32(B), pbounce),
+                ),
+            )
+            n_sh_st = (
+                (launch | (in_sh & ~sh_done)).astype(i32),
+                jnp.where(launch, ndx, sh_st[1]),
+                jnp.where(launch, ndy, sh_st[2]),
+                jnp.where(launch, ndz, sh_st[3]),
+                jnp.where(
+                    launch, stc_new,
+                    jnp.where(sh_done, f32(t_max), sh_st[4]),
+                ),
+            )
+        else:
+            relaunch = advance
+            n_dx = jnp.where(advance, ndx, dx)
+            n_dy = jnp.where(advance, ndy, dy)
+            n_dz = jnp.where(advance, ndz, dz)
+            n_pbounce = jnp.where(
+                resolved, jnp.where(advance, pbounce + 1, i32(B)), pbounce
+            )
+            n_sh_st = ()
         n_ox = jnp.where(advance, hpx, ox)
         n_oy = jnp.where(advance, hpy, oy)
         n_oz = jnp.where(advance, hpz, oz)
-        n_dx = jnp.where(advance, ndx, dx)
-        n_dy = jnp.where(advance, ndy, dy)
-        n_dz = jnp.where(advance, ndz, dz)
-        n_pbounce = jnp.where(
-            resolved, jnp.where(advance, pbounce + 1, i32(B)), pbounce
-        )
 
         (icx, icy, icz, icur, imhit, imdead, it, iface, ihx, ihy, ihz,
          ient, iix, iiy, iiz) = init_march(n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
-                                           advance)
+                                           relaunch)
 
         def merge_f(new, old):
-            return jnp.where(advance, new, old)
+            return jnp.where(relaunch, new, old)
 
         def merge_b(new, old):
             # bitwise select: Mosaic rejects select_n on i1 vectors
-            return (advance & new) | (~advance & old)
+            return (relaunch & new) | (~relaunch & old)
 
         if n_inst:
             nihit, nit, nij, niu, niv = inst_intersect(
@@ -757,8 +955,8 @@ def _path_kernel(
             merge_f(ihy, jnp.where(resolved, 0, hy)),
             merge_f(ihz, jnp.where(resolved, 0, hz)),
             merge_b(ient, entering & ~resolved).astype(i32),
-            n_inst_st,
-            tuple(o_t), tuple(o_p), tuple(o_d), tuple(o_i),
+            n_inst_st, n_sh_st,
+            tuple(o_t), tuple(o_p), tuple(o_d), tuple(o_i), tuple(o_s),
             chunks,
         )
 
@@ -785,7 +983,7 @@ def _path_kernel(
         return s[:-1] + (s[-1] + 1,)
 
     s = jax.lax.while_loop(cond, body, state)
-    o_t, o_p, o_d, o_i = s[-5], s[-4], s[-3], s[-2]
+    o_t, o_p, o_d, o_i, o_s = s[-6], s[-5], s[-4], s[-3], s[-2]
     k = 0
     for b in range(B):
         out_refs[k][:] = o_p[b]
@@ -803,6 +1001,11 @@ def _path_kernel(
         out_refs[k + 1][:] = ru
         out_refs[k + 2][:] = rv
         k += 3
+    for b in range(B - 1) if n_lights else []:
+        si, sv = o_s[b]
+        out_refs[k][:] = si
+        out_refs[k + 1][:] = sv
+        k += 2
     # final pbounce: >= B iff the lane resolved all its bounces (pass-1
     # completion mask for the tail restart)
     out_refs[k][:] = s[0]
@@ -812,12 +1015,12 @@ def _path_kernel(
     jax.jit,
     static_argnames=("ps", "t_min", "t_max", "n_bounces", "interpret",
                      "unroll", "coarse", "hw", "retire_cond", "n_inst",
-                     "inst_mat", "step_cap"),
+                     "inst_mat", "step_cap", "n_lights"),
 )
 def _path_pallas_flat(ps, o, d, seeds, edit_args, t_min, t_max, n_bounces,
                       interpret=False, unroll=1, coarse=None, hw=None,
                       retire_cond=True, inst_args=(), n_inst=0, inst_mat=None,
-                      step_cap=0, done=None):
+                      step_cap=0, done=None, light_args=(), n_lights=0):
     br = BLOCK_ROWS
     n = o.shape[0]
     B = n_bounces
@@ -857,7 +1060,8 @@ def _path_pallas_flat(ps, o, d, seeds, edit_args, t_min, t_max, n_bounces,
     sd = prep(seeds)
     done_args = () if done is None else (prep(done.astype(jnp.int32)),)
 
-    n_out = 2 * B + 3 * (B - 1) + (3 * B if n_inst else 0) + 1
+    n_out = (2 * B + 3 * (B - 1) + (3 * B if n_inst else 0)
+             + (2 * (B - 1) if n_lights else 0) + 1)
     out_shapes = []
     for b in range(B):
         out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))
@@ -869,6 +1073,9 @@ def _path_pallas_flat(ps, o, d, seeds, edit_args, t_min, t_max, n_bounces,
         out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))
         out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.float32))
         out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.float32))
+    for b in range(B - 1) if n_lights else []:
+        out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))
+        out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))
     out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))  # pbounce
 
     from jax.experimental.pallas import tpu as pltpu
@@ -879,17 +1086,19 @@ def _path_pallas_flat(ps, o, d, seeds, edit_args, t_min, t_max, n_bounces,
             _path_kernel, ps=ps, t_min=t_min, t_max=t_max, n_bounces=B,
             unroll=unroll, coarse=coarse, retire_cond=retire_cond,
             n_inst=n_inst, inst_mat=inst_mat, step_cap=step_cap,
-            has_done=done is not None,
+            has_done=done is not None, n_lights=n_lights,
         ),
         grid=grid,
         in_specs=(
             [smem] * len(edit_args) + [smem] * len(inst_args)
+            + [smem] * len(light_args)
             + [spec] * (7 + len(done_args))
         ),
         out_specs=[spec] * n_out,
         out_shape=out_shapes,
         interpret=interpret,
-    )(*edit_args, *inst_args, ox, oy, oz, dx, dy, dz, sd, *done_args)
+    )(*edit_args, *inst_args, *light_args,
+      ox, oy, oz, dx, dy, dz, sd, *done_args)
     return [post(x) for x in outs]
 
 
@@ -919,10 +1128,22 @@ def inst_smem_args(inst, tex_ids):
     return (row.reshape(-1),)
 
 
+def light_smem_args(flat):
+    """SMEM rows for in-kernel NEE: [v0(3)|v1(3)|v2(3)|power] per light
+    from the scene's flat light list (ops/nee.sample_light_flat's padded
+    arrays — pad rows have power 0 and are never selected)."""
+    tri = flat["tri"].astype(jnp.float32)                  # (L, 3, 3)
+    row = jnp.concatenate(
+        [tri.reshape(-1, 9), flat["power"].astype(jnp.float32)[:, None]],
+        axis=1,
+    )
+    return (row.reshape(-1),)
+
+
 def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
                       t_min=0.001, t_max=1000.0, pd=None, interpret=False,
                       unroll=None, hw=None, retire_cond=True, inst=None,
-                      inst_static=None, step_cap=0):
+                      inst_static=None, step_cap=0, lights=None):
     """Trace a FULL path (n_bounces bounces) per ray in one kernel.
 
     Preconditions (caller-checked): worldgen scene whose edits are all
@@ -936,12 +1157,24 @@ def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
     in-kernel — the reference's TLAS carries entity meshes in the same
     28-fps kernel (main.rs:86-101, scene.rs:209-386).
 
-    Returns (traces, dirs, ihits): traces[b] is a dda.TraceResult for
-    bounce b; dirs[b] (b in 1..n_bounces-1) is the in-kernel-sampled
+    lights: optional flat light dict (scene.bvh_device['flat']) —
+    enables IN-KERNEL split NEE: per non-last bounce the kernel samples
+    a light (sample_light_flat's importance math, draw slots 7/8/9),
+    marches the shadow ray to its light distance as a sub-phase, and
+    returns (chosen index, visibility bit); the XLA side recomputes the
+    direct term from the index + the same draws and multiplies by the
+    recorded visibility — no separate shadow kernel launch, and a
+    block's cost is max over lanes of path+shadow steps instead of the
+    two kernels' independent maxima.
+
+    Returns (traces, dirs, ihits, nee): traces[b] is a dda.TraceResult
+    for bounce b; dirs[b] (b in 1..n_bounces-1) is the in-kernel-sampled
     direction the kernel marched for bounce b ((n, 3) float32; zero for
     rays whose path ended earlier); ihits[b] is an
     ops.instances.InstanceHit (None when inst is None) recording where
-    the instance won the bounce.
+    the instance won the bounce; nee is None without lights, else a list
+    of (sel_idx (n,) i32 [-1 = no sample], vis (n,) bool) per non-last
+    bounce.
     """
     from vrv_tpu.ops.dda import TraceResult
     from vrv_tpu.ops.dda_proc import _hit_blocks, assemble
@@ -969,12 +1202,18 @@ def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
         n_inst = int(inst["tri"].shape[0])
         inst_args = inst_smem_args(inst, inst_static[0])
         inst_mat = (inst_static[1], inst_static[2])
+    n_lights = 0
+    light_args = ()
+    if lights is not None and B > 1:
+        n_lights = int(lights["tri"].shape[0])
+        light_args = light_smem_args(lights)
     common = dict(
         interpret=interpret or _tp.INTERPRET,
         unroll=UNROLL if unroll is None else unroll,
         coarse=(ps.coarse_const or None) if ps.use_coarse else None,
         hw=hw, retire_cond=retire_cond,
         inst_args=inst_args, n_inst=n_inst, inst_mat=inst_mat,
+        light_args=light_args, n_lights=n_lights,
     )
     ea = edit_smem_args(ps, pd)
     outs = _path_pallas_flat(
@@ -1044,4 +1283,11 @@ def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
                 prim=jnp.maximum(prim, 0),
                 bary=jnp.stack([iu, iv], axis=-1),
             ))
-    return traces, dirs, ihits
+    nee = None
+    if n_lights:
+        nee = []
+        for b in range(B - 1):
+            nee.append((outs[k].reshape(shape),
+                        (outs[k + 1] != 0).reshape(shape)))
+            k += 2
+    return traces, dirs, ihits, nee

@@ -269,8 +269,15 @@ def shade_resolved(
     nee_mode: str = "mixture",
     w_prev: Optional[jax.Array] = None,
     light_tex_set: Optional[tuple] = None,
+    flat_sel_idx: Optional[jax.Array] = None,
 ) -> BounceResult:
     """Texture fetch + BSDF branch + NEE over pre-resolved hits.
+
+    flat_sel_idx: pre-chosen light indices from the fused kernel's
+    in-kernel NEE (split mode + flat list only; -1 = no sample) — the
+    direct term is then computed for exactly the light the kernel
+    marched a shadow ray to, and the caller multiplies by the kernel's
+    recorded visibility instead of tracing shadow rays.
 
     Row-independent (every output row depends only on that row's inputs:
     elementwise math, per-row one-hot matmuls, (seed, slot)-keyed draws),
@@ -350,6 +357,7 @@ def shade_resolved(
                 new_origin, normal, seed, bvh["flat"],
                 importance_scale=nee_importance_scale,
                 mis_clamp=nee_mis_clamp,
+                sel_idx=flat_sel_idx,
             )
         else:
             ls = nee.sample_light(

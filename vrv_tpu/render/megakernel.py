@@ -167,7 +167,7 @@ def render_samples(
     # replays shading over the recorded per-bounce hits, consuming the
     # kernel's sampled directions so the path chain is exactly what the
     # kernel marched.
-    fused_traces = fused_dirs = fused_ihits = None
+    fused_traces = fused_dirs = fused_ihits = fused_nee = None
     fused_pad = None   # (Rp, Wp) when shading runs on the padded layout
     if fused_eligible:
         from vrv_tpu.ops.pallas.path_proc import trace_path_pallas
@@ -197,21 +197,34 @@ def render_samples(
                 seeds = pad2(seeds)
                 fused_pad = (Rp, Wp)
             hw = (Rp, Wp)
+        # in-kernel NEE: the kernel samples the flat light list and
+        # marches shadow rays as sub-phases, recording (index, vis) per
+        # bounce — the batched shade below then computes the direct term
+        # from the same index and skips the separate shadow kernel
+        nee_in_kernel = (
+            split_nee
+            and cfg.pallas_inkernel_nee
+            and cfg.pallas_batched_shade
+            and cfg.max_bounces > 1
+            and bvh.get("flat") is not None
+        )
         with jax.named_scope("fused_path_trace"):
             # in-kernel skip certificates OFF here: measured a net loss in
             # the fused kernel (285 vs 303 ms/frame — bounce rays rarely
             # clear the certificates, so the per-step tree cost dominates)
-            fused_traces, fused_dirs, fused_ihits = trace_path_pallas(
-                proc_static._replace(use_coarse=False), o, d, seeds,
-                cfg.max_bounces,
-                t_min=cfg.t_min, t_max=cfg.t_max, pd=proc,
-                unroll=cfg.pallas_unroll or None,
-                hw=hw,
-                retire_cond=cfg.pallas_retire_cond,
-                inst=inst if inst_in_kernel else None,
-                inst_static=inst_static if inst_in_kernel else None,
-                step_cap=cfg.pallas_step_cap,
-            )
+            fused_traces, fused_dirs, fused_ihits, fused_nee = \
+                trace_path_pallas(
+                    proc_static._replace(use_coarse=False), o, d, seeds,
+                    cfg.max_bounces,
+                    t_min=cfg.t_min, t_max=cfg.t_max, pd=proc,
+                    unroll=cfg.pallas_unroll or None,
+                    hw=hw,
+                    retire_cond=cfg.pallas_retire_cond,
+                    inst=inst if inst_in_kernel else None,
+                    inst_static=inst_static if inst_in_kernel else None,
+                    step_cap=cfg.pallas_step_cap,
+                    lights=bvh["flat"] if nee_in_kernel else None,
+                )
         n = o.shape[0]
 
     color = jnp.zeros((n, 3), jnp.float32)
@@ -281,8 +294,10 @@ def render_samples(
             tex_ids |= set(inst_static[0])
         tex_set = tuple(sorted(tex_ids))
 
-    # split-NEE per-bounce records (batched shadow trace after the loop)
+    # split-NEE per-bounce records (batched shadow trace after the loop;
+    # split_kvis = in-kernel NEE's recorded visibility, replacing it)
     split_T, split_direct, split_so, split_sd, split_dist = [], [], [], [], []
+    split_kvis = []
     w_prev = None
 
     if fused_traces is not None and cfg.pallas_batched_shade:
@@ -342,6 +357,11 @@ def render_samples(
                     nee_mode="split" if split_nee else "mixture",
                     w_prev=None,
                     light_tex_set=light_tex_set if split_nee else None,
+                    flat_sel_idx=(
+                        _cat([fused_nee[b][0] for b in idx])
+                        if (fused_nee is not None and bvh_g is not None)
+                        else None
+                    ),
                 )
             for j, b in enumerate(idx):
                 brs[b] = jax.tree.map(
@@ -368,6 +388,8 @@ def render_samples(
                 split_so.append(br.new_origin)
                 split_sd.append(br.shadow_dir)
                 split_dist.append(br.shadow_dist)
+                if fused_nee is not None:
+                    split_kvis.append(fused_nee[bounce][1])
             w_prev = br.w
             color = color + jnp.where(alive[:, None], throughput * e_b, 0.0)
             throughput = jnp.where(
@@ -559,36 +581,43 @@ def render_samples(
             d = br.new_direction
 
     if split_nee and split_direct:
-        # one batched shadow trace for ALL bounces: shadow rays are
-        # independent of path continuation, so they never gate the chain —
-        # a single kernel launch over (B-1)*n rays instead of a per-bounce
-        # trace (the per-launch overhead is what killed the staged path)
-        with jax.named_scope("nee_shadow_trace"):
-            b_s = len(split_direct)
-            so_cat = jnp.concatenate(split_so)
-            sd_cat = jnp.concatenate(split_sd)
-            dist_cat = jnp.concatenate(split_dist)
-            hw_shadow = (
-                (b_s * layout_rows, layout_w) if cfg.pallas_tile2d else None
-            )
-            eps = 1e-3 + 1e-3 * dist_cat
-            sh = trace_batch(so_cat, sd_cat, hw=hw_shadow,
-                             tcap=dist_cat - eps)
-            # visible iff nothing resolves strictly before the light point
-            # (the shadow ray's own hit on the sampled lamp face lands at
-            # t == dist up to fp error)
-            vis = (~sh.hit) | (sh.t >= dist_cat - eps)
-            if inst is not None:
-                # entity instances occlude shadow rays too (the reference's
-                # redirected NEE ray traverses the full TLAS incl. entity
-                # BLASes, pathtrace_shader.rs:652-686)
-                from vrv_tpu.ops.instances import trace_instances
-
-                ish = trace_instances(
-                    so_cat, sd_cat, inst["tri"], inst["valid"],
-                    t_min=cfg.t_min, t_max=cfg.t_max,
+        b_s = len(split_direct)
+        if split_kvis:
+            # in-kernel NEE already marched every shadow ray as a kernel
+            # sub-phase; consume its recorded visibility bits
+            vis = jnp.concatenate(split_kvis)
+        else:
+            # one batched shadow trace for ALL bounces: shadow rays are
+            # independent of path continuation, so they never gate the
+            # chain — a single kernel launch over (B-1)*n rays instead of
+            # a per-bounce trace (the per-launch overhead is what killed
+            # the staged path)
+            with jax.named_scope("nee_shadow_trace"):
+                so_cat = jnp.concatenate(split_so)
+                sd_cat = jnp.concatenate(split_sd)
+                dist_cat = jnp.concatenate(split_dist)
+                hw_shadow = (
+                    (b_s * layout_rows, layout_w) if cfg.pallas_tile2d
+                    else None
                 )
-                vis = vis & ~(ish.hit & (ish.t < dist_cat - eps))
+                eps = 1e-3 + 1e-3 * dist_cat
+                sh = trace_batch(so_cat, sd_cat, hw=hw_shadow,
+                                 tcap=dist_cat - eps)
+                # visible iff nothing resolves strictly before the light
+                # point (the shadow ray's own hit on the sampled lamp face
+                # lands at t == dist up to fp error)
+                vis = (~sh.hit) | (sh.t >= dist_cat - eps)
+                if inst is not None:
+                    # entity instances occlude shadow rays too (the
+                    # reference's redirected NEE ray traverses the full
+                    # TLAS incl. entity BLASes, pathtrace_shader.rs:652-686)
+                    from vrv_tpu.ops.instances import trace_instances
+
+                    ish = trace_instances(
+                        so_cat, sd_cat, inst["tri"], inst["valid"],
+                        t_min=cfg.t_min, t_max=cfg.t_max,
+                    )
+                    vis = vis & ~(ish.hit & (ish.t < dist_cat - eps))
         with jax.named_scope("nee_direct_accum"):
             vis3 = vis.astype(jnp.float32)[:, None]
             for b in range(b_s):
