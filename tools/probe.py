@@ -421,6 +421,12 @@ def cmd_entry(args):
     variants = {
         "pristine": (pristine_scene, cam_p, cfg),
         "entry_full": (entry_scene, cam_e, cfg),
+        "entry_iknee": (
+            entry_scene, cam_e, cfg.replace(pallas_inkernel_nee=True)
+        ),
+        "entry_bs0": (
+            entry_scene, cam_e, cfg.replace(pallas_batched_shade=False)
+        ),
         "entry_nonee": (entry_scene, cam_e, cfg.replace(enable_nee=False)),
         "entry_noinst": (noinst_scene, cam_e, cfg),
         "entry_noinst_nonee": (
