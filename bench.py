@@ -109,6 +109,26 @@ def main() -> int:
         file=sys.stderr,
     )
 
+    # flag-gated kernel variants, measured as diagnostics so the round
+    # records their numbers even when no interactive tunnel session was
+    # possible (defaults flip in a later round if a variant wins)
+    diag_fps = {}
+    for key, c in (
+        ("entry_inkernel_nee_fps", cfg.replace(pallas_inkernel_nee=True)),
+        ("entry_step_cap128_fps", cfg.replace(pallas_step_cap=128)),
+    ):
+        try:
+            np.asarray(run(0, c=c))
+            t0 = time.perf_counter()
+            imgs = [run(i + 1, c=c) for i in range(4)]
+            np.asarray(imgs[-1])
+            diag_fps[key] = round(4 / (time.perf_counter() - t0), 3)
+        except Exception as e:  # pragma: no cover - hardware-path guard
+            print(f"[{key}] FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            diag_fps[key] = 0.0
+        print(f"{key}: {diag_fps[key]}", file=sys.stderr)
+
     # pristine-world diagnostic (no lamp, no edits): the fused path
     # kernel's raw rate, for kernel-progress tracking
     from vrv_tpu.config import WorldConfig
@@ -193,6 +213,7 @@ def main() -> int:
         "converged_128spp_vs_baseline": round(conv_fps / 3.0, 3),
         "wavefront_4spp_4b_fps": round(mode_fps["wavefront"], 3),
         "megakernel_4spp_4b_fps": round(mode_fps["megakernel"], 3),
+        **diag_fps,
     }))
     return 0
 

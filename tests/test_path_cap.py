@@ -82,3 +82,30 @@ def test_step_cap_full_render_identical(block_table):
         eye, front, right, up, 0, base.replace(pallas_step_cap=16)
     ))
     assert (ref == capped).all()
+
+
+def test_step_cap_bit_identical_with_inkernel_nee(block_table):
+    """Tail restart x in-kernel NEE: a lane interrupted mid-path OR
+    mid-shadow re-traces from scratch in pass 2 — records AND the NEE
+    (index, vis) outputs must be bit-identical to the uncapped pass."""
+    from tests.test_path_inst import _ego_scene
+
+    sc, cam = _ego_scene(block_table, with_lamp=True)
+    ps, pd = sc.proc_static, sc.proc_arrays
+    o, d, seeds, B = _rays(sc)
+    flat = sc.bvh_device["flat"]
+    kw = dict(pd=pd, interpret=True, unroll=1, lights=flat,
+              inst=sc.instances_device, inst_static=sc.inst_static)
+    ref_tr, ref_d, ref_i, ref_n = trace_path_pallas(
+        ps, o, d, seeds, B, **kw)
+    cap_tr, cap_d, cap_i, cap_n = trace_path_pallas(
+        ps, o, d, seeds, B, step_cap=24, **kw)
+    for b in range(B):
+        for f in ("hit", "t", "block", "face", "entering"):
+            assert (np.asarray(getattr(ref_tr[b], f))
+                    == np.asarray(getattr(cap_tr[b], f))).all(), (b, f)
+    for b in range(B - 1):
+        assert (np.asarray(ref_d[b]) == np.asarray(cap_d[b])).all(), b
+        assert (np.asarray(ref_n[b][0]) == np.asarray(cap_n[b][0])).all(), b
+        assert (np.asarray(ref_n[b][1]) == np.asarray(cap_n[b][1])).all(), b
+    assert (np.asarray(ref_n[0][0]) >= 0).any()  # non-vacuous
