@@ -7,6 +7,12 @@ all hosts and the same ('samples' x 'rows') mesh + psum code path applies
 unchanged — replication of the world arrays happens at jit input
 placement, and steady-state cross-host traffic is only the sample-merge
 psum (SURVEY.md section 5, distributed backend).
+
+Callers: `app --multihost ADDR,NPROC,PID` (vrv_tpu/app.py). Tested for
+real in tests/test_multihost.py: two actual processes bootstrap over a
+localhost coordinator, render one frame across the 4-device global mesh
+(the psum rides the cross-process transport), and match the
+single-process frame byte-for-byte.
 """
 
 from __future__ import annotations
