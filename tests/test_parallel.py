@@ -158,7 +158,20 @@ g = 64
 grid_np = np.asarray(scene.grid)
 solid = scene.table.solid[grid_np]
 ys = np.nonzero(solid[g // 2, :, g // 2])[0]
-y_surf = (int(ys.max()) if len(ys) else g // 2) - 32
+y_top = int(ys.max()) if len(ys) else g // 2
+y_surf = y_top - 32
+# the full graded combination rides the shards: a lamp (split/mixture
+# NEE + edit list) AND the ego-cube instance set
+assert scene.set_block(np.array([0, y_top + 1 - 32, 0]),
+                       int(scene.table.block_idx("lamp")))
+from vrv_tpu.game.world import Isometry
+from vrv_tpu.ops.instances import transform_mesh
+from vrv_tpu.utils.geometry import unitcube
+
+scene.set_instances([transform_mesh(
+    unitcube(), Isometry(np.array([34.0, y_top + 3.0, 34.0]))
+)])
+assert scene.bvh_device is not None and scene.instances_device is not None
 eye = np.array([0.0, y_surf + 10.0, -20.0])
 front = jnp.asarray([0.0, -0.35, 0.936], jnp.float32)
 right = jnp.asarray([-1.0, 0.0, 0.0], jnp.float32)
@@ -167,7 +180,8 @@ up = jnp.asarray([0.0, -0.936, -0.35], jnp.float32)
 single = np.asarray(scene.render(eye, front, right, up, 0, cfg))
 mesh = make_render_mesh(2, spp=cfg.samples_per_pixel, height=cfg.height)
 fn = jit_render_sharded(mesh, cfg, scene.bvh_max_depth,
-                        scene.bvh_device is not None, scene.proc_static)
+                        scene.bvh_device is not None, scene.proc_static,
+                        scene.light_tex_set, scene.inst_static)
 sharded = np.asarray(
     fn(scene.grid, scene.translucent, scene.materials, scene.bvh_device,
        scene.dist, scene.instances_device, scene.rows, scene.proc_arrays,
