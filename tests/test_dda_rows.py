@@ -221,3 +221,50 @@ def test_rows_vs_oracle_integer_aligned_origins():
     # of rays where both tracers hit, allow the same small graze fraction
     # to land in an adjacent boundary cell
     assert same_cell.mean() > 0.98, same_cell.mean()
+
+
+def test_rows_vs_skip_corner_tie_class_on_worldgen():
+    """rows vs skip on worldgen terrain: bit-equal except rare corner ties.
+
+    The two tracers compute boundary crossings with different arithmetic
+    (windowed row march vs distance-field jump + DDA restart), so a ray
+    passing exactly through a cell corner can resolve its hit FLAG either
+    way (both outcomes are valid DDA results; the same FMA-order class as
+    the beam pre-pass, docs/PERF.md:144). This is why app-level frames
+    with entity instances can differ by +-1 u8 on isolated pixels: an
+    instance bounce can spawn a corner-tie secondary ray. The contract:
+    ties are rare even under adversarial rays, and every ray where BOTH
+    tracers report a hit is field-for-field bit-equal.
+    """
+    from vrv_tpu.config import WorldConfig
+    from vrv_tpu.render.scene import Scene
+    from vrv_tpu.ops.dda_rows import trace_rows_auto
+
+    wc = WorldConfig(size=(32, 32, 32), origin=(-16, -16, -16), seed=0)
+    sc = Scene(wc)
+    rng = np.random.default_rng(0)
+    n = 20000
+    # exact integer-corner origins + half axis-grazing directions: the
+    # adversarial tie population (random rays essentially never tie)
+    o = rng.integers(2, 30, size=(n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[: n // 2, rng.integers(0, 3)] *= 1e-4
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    r_rows = trace_rows_auto(
+        sc.grid.shape, sc.rows, sc.translucent.shape[0],
+        jnp.asarray(o), jnp.asarray(d), t_min=1e-3, t_max=1e4,
+    )
+    r_skip = dda.trace_skip(
+        sc.grid, sc.dist, sc.translucent,
+        jnp.asarray(o), jnp.asarray(d), t_min=1e-3, t_max=1e4,
+    )
+    h1, h2 = np.asarray(r_rows.hit), np.asarray(r_skip.hit)
+    flips = int((h1 != h2).sum())
+    assert flips <= 20, flips  # measured: 1/20000 under this population
+    both = h1 & h2
+    for field in ("t", "block", "face", "cell", "entering"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(r_rows, field))[both],
+            np.asarray(getattr(r_skip, field))[both],
+        )

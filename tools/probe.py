@@ -432,6 +432,20 @@ def cmd_entry(args):
         "entry_noinst_nonee": (
             noinst_scene, cam_e, cfg.replace(enable_nee=False)
         ),
+        # unroll retune on the graded scene (module default is 12; the
+        # round-2 tuning was done on the pristine world pre-NEE)
+        "entry_u8": (entry_scene, cam_e, cfg.replace(pallas_unroll=8)),
+        "entry_u16": (entry_scene, cam_e, cfg.replace(pallas_unroll=16)),
+        "entry_u24": (entry_scene, cam_e, cfg.replace(pallas_unroll=24)),
+        # in-kernel NEE at the retuned unrolls (the shadow sub-phase
+        # changes the chunk mix, so its best unroll may differ)
+        "entry_iknee_u16": (
+            entry_scene, cam_e,
+            cfg.replace(pallas_inkernel_nee=True, pallas_unroll=16),
+        ),
+        "entry_step_cap128": (
+            entry_scene, cam_e, cfg.replace(pallas_step_cap=128)
+        ),
     }
     only = args.tracers if args.tracers != "rows,proc" else ""
     for name, (scene, cam, c) in variants.items():

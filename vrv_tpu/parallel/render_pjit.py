@@ -21,7 +21,6 @@ from typing import Optional
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from vrv_tpu.config import RenderConfig
 from vrv_tpu.render import megakernel
@@ -75,12 +74,12 @@ def render_frame_sharded(
         pixel = total / cfg.samples_per_pixel
         return megakernel.pack_bgra(pixel)[None]  # (1, local_h, W, 4)
 
-    fn = shard_map(
+    fn = jax.shard_map(
         shard_body,
         mesh=mesh,
         in_specs=(replicated,) * 13,
         out_specs=P("samples", "rows", None, None),
-        check_rep=False,
+        check_vma=False,
     )
     out = fn(grid, translucent, materials, bvh, dist, inst, rows, proc,
              eye, front, right, up, frame)
