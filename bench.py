@@ -174,6 +174,25 @@ def main() -> int:
         print(f"[converged] FAILED: {type(e).__name__}: {e}", file=sys.stderr)
     print(f"converged 128spp: {conv_fps:.3f} fps (ref 3)", file=sys.stderr)
 
+    # one-dispatch converged (Scene.render_converged): the same 128 chunks
+    # accumulated in a device-side fori_loop — bit-identical frames
+    # (tests/test_converged.py), minus 127 per-dispatch overheads. Recorded
+    # as a diagnostic; flip the converged measurement to it if it wins.
+    conv1_fps = 0.0
+    try:
+        np.asarray(scene.render_converged(eye, front, right, up, 0,
+                                          conv_chunks, cfg))
+        t0 = time.perf_counter()
+        np.asarray(scene.render_converged(eye, front, right, up, 1,
+                                          conv_chunks, cfg))
+        np.asarray(scene.render_converged(eye, front, right, up, 2,
+                                          conv_chunks, cfg))
+        conv1_fps = 2 / (time.perf_counter() - t0)
+    except Exception as e:  # pragma: no cover - hardware-path guard
+        print(f"[converged_onejit] FAILED: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    print(f"converged 128spp onejit: {conv1_fps:.3f} fps", file=sys.stderr)
+
     # wavefront vs megakernel at 4 spp / 4 bounces (reference README.md:31),
     # both as four accumulated 1-spp passes (the headline-frame shape)
     mode_fps = {}
@@ -211,6 +230,7 @@ def main() -> int:
         "pristine_fused_fps": round(pristine_fps, 3),
         "converged_128spp_fps": round(conv_fps, 3),
         "converged_128spp_vs_baseline": round(conv_fps / 3.0, 3),
+        "converged_128spp_onejit_fps": round(conv1_fps, 3),
         "wavefront_4spp_4b_fps": round(mode_fps["wavefront"], 3),
         "megakernel_4spp_4b_fps": round(mode_fps["megakernel"], 3),
         **diag_fps,

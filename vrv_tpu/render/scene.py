@@ -584,6 +584,41 @@ class Scene:
             jnp.uint32(frame),
         )
 
+    def render_converged(self, eye, front, right, up, frame: int, chunks: int,
+                         cfg: RenderConfig) -> jax.Array:
+        """One converged frame (`chunks` accumulated sample passes) in ONE
+        dispatch -> (H, W, 4) u8 BGRA.
+
+        The host-loop formulation (bench.py run_chunks, app --progressive)
+        issues `chunks` separate jit dispatches per frame; at the
+        reference's converged setting (128 spp, README.md:8-9) that is 128
+        round-trips of per-dispatch overhead. Here a `lax.fori_loop` runs
+        the same per-pass body on device — compiled ONCE, not unrolled —
+        accumulating radiance in the identical order (acc starts at zero;
+        0.0 + x == x for the non-negative radiance domain), so the packed
+        frame is bit-identical to the host loop (tests/test_converged.py).
+        Pass ids are frame*chunks + i, matching the host loop's reseeding.
+        """
+        ps, pa = self._proc_for(cfg)
+        fn = _jit_render_converged(cfg, int(chunks), self.bvh_max_depth,
+                                   self.bvh_device is not None, ps,
+                                   self.light_tex_set, self.inst_static)
+        return fn(
+            self.grid,
+            self.translucent,
+            self.materials,
+            self.bvh_device,
+            self.dist,
+            self.instances_device,
+            self.rows,
+            pa,
+            self.camera_to_local(eye),
+            jnp.asarray(front, jnp.float32),
+            jnp.asarray(right, jnp.float32),
+            jnp.asarray(up, jnp.float32),
+            jnp.uint32(frame * chunks),
+        )
+
     def render_samples(self, eye, front, right, up, frame: int, cfg: RenderConfig) -> jax.Array:
         ps, pa = self._proc_for(cfg)
         fn = _jit_render_samples(cfg, self.bvh_max_depth, self.bvh_device is not None,
@@ -670,5 +705,31 @@ def _jit_render_samples(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool,
                 proc_static=proc_static, proc=proc, light_tex_set=light_tex_set,
                 inst_static=inst_static,
             )
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_render_converged(cfg: RenderConfig, chunks: int, bvh_max_depth: int,
+                          has_lights: bool, proc_static=None,
+                          light_tex_set=None, inst_static=None):
+    def fn(grid, translucent, materials, bvh, dist, inst, rows, proc,
+           eye, front, right, up, frame0):
+        def body(i, acc):
+            with _rng_mode(cfg.rng):
+                smp = megakernel.render_samples(
+                    grid, translucent, materials,
+                    bvh if has_lights else None, bvh_max_depth, dist, inst,
+                    rows, eye, front, right, up, frame0 + jnp.uint32(i), cfg,
+                    proc_static=proc_static, proc=proc,
+                    light_tex_set=light_tex_set, inst_static=inst_static,
+                )
+            return acc + smp.sum(axis=0)
+
+        acc = jax.lax.fori_loop(
+            0, chunks, body,
+            jnp.zeros((cfg.height, cfg.width, 3), jnp.float32),
+        )
+        return megakernel.pack_bgra(acc / (chunks * cfg.samples_per_pixel))
 
     return jax.jit(fn)
