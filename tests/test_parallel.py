@@ -252,3 +252,51 @@ def test_graft_dryrun_hostile_env(tmp_path):
     )
     assert out.returncode == 0, f"stdout:\n{out.stdout}\nstderr:\n{out.stderr}"
     assert "dryrun_multichip OK" in out.stdout
+
+
+_SHARDED_CONVERGED = """
+import numpy as np
+import jax, jax.numpy as jnp
+assert len(jax.devices()) >= {n}, jax.devices()
+
+from vrv_tpu.config import RenderConfig, WorldConfig
+from vrv_tpu.parallel.mesh import make_render_mesh
+from vrv_tpu.render.scene import Scene
+
+# worldgen scene + a lamp: the converged shard body must carry the proc
+# tracer AND split-NEE; pass ids partition the single-device id range
+wc = WorldConfig(size=(16, 16, 16), origin=(-8, -8, -8), seed=0)
+scene = Scene(wc)
+lamp = int(scene.table.block_idx("lamp"))
+assert scene.set_block((0, -2, 0), lamp)
+assert scene.proc_static is not None and scene.bvh_device is not None
+
+cfg = RenderConfig(width=16, height=8, samples_per_pixel=1, max_bounces=2)
+eye = np.array([0.0, 6.0, -6.0], np.float32)
+front = jnp.asarray([0.0, -0.6, 0.8], jnp.float32)
+right = jnp.asarray([-1.0, 0.0, 0.0], jnp.float32)
+up = jnp.asarray([0.0, -0.8, -0.6], jnp.float32)
+
+chunks = 8
+single = np.asarray(
+    scene.render_converged(eye, front, right, up, 1, chunks, cfg)
+)
+mesh = make_render_mesh({n}, spp=cfg.samples_per_pixel, height=cfg.height)
+sharded = np.asarray(
+    scene.render_converged_sharded(mesh, eye, front, right, up, 1, chunks, cfg)
+)
+assert sharded.shape == single.shape
+# shard boundaries change the f32 accumulation order (psum of partial
+# sums vs one sequential chain), so the gate is the repo's +-1-u8 class
+diff = np.abs(sharded.astype(int) - single.astype(int))
+assert diff.max() <= 1, diff.max()
+assert (diff == 0).mean() > 0.99, (diff == 0).mean()
+print("OK", dict(mesh.shape))
+"""
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_converged_matches_single(n_devices):
+    out = run_in_clean_env(_SHARDED_CONVERGED.format(n=n_devices),
+                           n_devices=n_devices)
+    assert "OK" in out

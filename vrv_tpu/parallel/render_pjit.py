@@ -20,6 +20,7 @@ import functools
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from vrv_tpu.config import RenderConfig
@@ -85,6 +86,82 @@ def render_frame_sharded(
              eye, front, right, up, frame)
     # every samples-shard holds the same merged rows; take shard 0
     return out[0]
+
+
+def render_converged_sharded(
+    mesh: Mesh,
+    grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows, proc,
+    eye, front, right, up, frame0, chunks: int, cfg: RenderConfig,
+    proc_static=None, light_tex_set=None, inst_static=None,
+) -> jax.Array:
+    """One converged frame (`chunks` accumulated 1-pass renders) across the
+    mesh -> (H, W, 4) u8.
+
+    Chunk passes are independent Monte-Carlo estimates, so the converged
+    frame shards over the PASS axis: each device runs a local fori_loop
+    over its `chunks / n_devices` range (pass ids = frame0 + dev*local + i,
+    a partition of the single-device id range) and the only collective is
+    ONE radiance psum at the end — no per-pass traffic at all. Reuses the
+    ('samples' x 'rows') product mesh with devices linearized, so the same
+    `app --sharded N` mesh serves both interactive and converged rendering.
+    Accumulation order differs from the single-device loop across shard
+    boundaries, so the gate is the +-1-u8/99% class, not bit-identity
+    (tests/test_parallel.py::test_sharded_converged_matches_single).
+    """
+    n_dev = mesh.devices.size
+    assert chunks % n_dev == 0, "chunks must split over the mesh"
+    local = chunks // n_dev
+    n_rows = mesh.shape["rows"]
+
+    def shard_body(grid, translucent, materials, bvh, dist, inst, rows, proc,
+                   eye, front, right, up, frame0):
+        dev = jax.lax.axis_index("samples") * n_rows + jax.lax.axis_index("rows")
+
+        def body(i, acc):
+            fid = frame0 + jnp.uint32(dev * local) + jnp.uint32(i)
+            smp = megakernel.render_samples(
+                grid, translucent, materials, bvh, bvh_max_depth, dist, inst,
+                rows, eye, front, right, up, fid, cfg,
+                proc_static=proc_static, proc=proc,
+                light_tex_set=light_tex_set, inst_static=inst_static,
+            )
+            return acc + smp.sum(axis=0)
+
+        acc = jax.lax.fori_loop(
+            0, local, body,
+            jnp.zeros((cfg.height, cfg.width, 3), jnp.float32),
+        )
+        total = jax.lax.psum(acc, axis_name=("samples", "rows"))
+        pixel = total / (chunks * cfg.samples_per_pixel)
+        return megakernel.pack_bgra(pixel)
+
+    fn = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(),) * 13,
+        out_specs=P(),  # post-psum every shard holds the full frame
+        check_vma=False,
+    )
+    return fn(grid, translucent, materials, bvh, dist, inst, rows, proc,
+              eye, front, right, up, frame0)
+
+
+@functools.lru_cache(maxsize=16)
+def jit_render_converged_sharded(mesh: Mesh, chunks: int, cfg: RenderConfig,
+                                 bvh_max_depth: int, has_lights: bool,
+                                 proc_static=None, light_tex_set=None,
+                                 inst_static=None):
+    def fn(grid, translucent, materials, bvh, dist, inst, rows, proc,
+           eye, front, right, up, frame0):
+        return render_converged_sharded(
+            mesh, grid, translucent, materials,
+            bvh if has_lights else None, bvh_max_depth, dist, inst, rows,
+            proc, eye, front, right, up, frame0, chunks, cfg,
+            proc_static=proc_static, light_tex_set=light_tex_set,
+            inst_static=inst_static,
+        )
+
+    return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=16)

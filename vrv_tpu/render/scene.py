@@ -619,6 +619,36 @@ class Scene:
             jnp.uint32(frame * chunks),
         )
 
+    def render_converged_sharded(self, mesh, eye, front, right, up,
+                                 frame: int, chunks: int,
+                                 cfg: RenderConfig) -> jax.Array:
+        """Converged frame with the pass axis sharded over the mesh: each
+        device accumulates chunks/n_devices passes in a local fori_loop
+        and the only collective is one radiance psum (render_pjit)."""
+        from vrv_tpu.parallel.render_pjit import jit_render_converged_sharded
+
+        ps, pa = self._proc_for(cfg)
+        fn = jit_render_converged_sharded(
+            mesh, int(chunks), cfg, self.bvh_max_depth,
+            self.bvh_device is not None, ps, self.light_tex_set,
+            self.inst_static,
+        )
+        return fn(
+            self.grid,
+            self.translucent,
+            self.materials,
+            self.bvh_device,
+            self.dist,
+            self.instances_device,
+            self.rows,
+            pa,
+            self.camera_to_local(eye),
+            jnp.asarray(front, jnp.float32),
+            jnp.asarray(right, jnp.float32),
+            jnp.asarray(up, jnp.float32),
+            jnp.uint32(frame * chunks),
+        )
+
     def render_samples(self, eye, front, right, up, frame: int, cfg: RenderConfig) -> jax.Array:
         ps, pa = self._proc_for(cfg)
         fn = _jit_render_samples(cfg, self.bvh_max_depth, self.bvh_device is not None,
