@@ -42,3 +42,18 @@ def test_app_sharded_matches_single(tmp_path):
 def test_app_progressive_ignores_sharded(tmp_path, capsys):
     img = _run(tmp_path, "prog.png", ["--sharded", "4", "--progressive"])
     assert img.std() > 10
+
+
+def test_app_converged_single_and_sharded(tmp_path):
+    """--converged N renders each frame as N one-dispatch accumulated
+    passes (GameWorld.step(converged=N) -> Scene.render_converged); with
+    --sharded it takes the pass-axis sharded path. Both must land within
+    the +-1-u8 band of each other (f32 accumulation-order class) and
+    carry real content."""
+    conv = _run(tmp_path, "conv.png", ["--converged", "4"])
+    assert conv.std() > 10
+    conv_sh = _run(tmp_path, "conv_sh.png", ["--converged", "4",
+                                             "--sharded", "4"])
+    diff = np.abs(conv - conv_sh)
+    assert diff.max() <= 1
+    assert (diff == 0).mean() >= 0.99

@@ -91,6 +91,7 @@ def main(argv=None) -> int:
     rays_per_frame = (
         render_cfg.width * render_cfg.height
         * render_cfg.samples_per_pixel * render_cfg.max_bounces
+        * max(1, args.converged)
     )
 
     from collections import deque
@@ -129,7 +130,7 @@ def main(argv=None) -> int:
             accum = smp if accum is None else accum + smp
             frame_dev = pack_bgra(accum / (i + 1))
         else:
-            frame_dev = gw.step()
+            frame_dev = gw.step(converged=args.converged)
         inflight.append(frame_dev)
         if len(inflight) >= depth:
             present(inflight.popleft())

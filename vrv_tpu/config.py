@@ -224,6 +224,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="render bounce-0 reflectivity (textured surfaces) "
                         "instead of path-traced radiance")
     p.add_argument("--progressive", action="store_true")
+    p.add_argument("--converged", type=int, default=0, metavar="CHUNKS",
+                   help="render each frame as CHUNKS accumulated sample "
+                        "passes in one dispatch (the reference's 128-spp "
+                        "offline row); composes with --sharded")
     p.add_argument("--infinite", action="store_true",
                    help="streaming world: the window recenters on the ego")
     p.add_argument("--debug-view", choices=["none", "albedo", "prim",

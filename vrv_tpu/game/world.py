@@ -293,11 +293,16 @@ class GameWorld:
 
     # -- per-frame step (game_world.rs:235-290) --
 
-    def step(self, render: bool = True, radiance: bool = False) -> Optional[np.ndarray]:
+    def step(self, render: bool = True, radiance: bool = False,
+             converged: int = 0) -> Optional[np.ndarray]:
         """One frame. With radiance=True the render half returns the
         sample-mean linear radiance (H, W, 3) float32 on device instead of
         the packed u8 frame — the input the progressive accumulator needs
-        (models/pathtracer.render_progressive semantics, quirk Q2)."""
+        (models/pathtracer.render_progressive semantics, quirk Q2).
+        converged=N renders the frame as N accumulated sample passes in a
+        single dispatch (Scene.render_converged; pass-axis sharded over
+        render_mesh when one is set) — the reference's 128-spp offline
+        row (README.md:8-9)."""
         t0 = time.perf_counter()
         new_changes: List[WorldChange] = []
         for manager in self.managers:
@@ -325,6 +330,16 @@ class GameWorld:
                 img = self.scene.render_samples(
                     eye, front, right, up, self.frame, cfg
                 ).mean(axis=0)
+            elif converged:
+                if self.render_mesh is not None:
+                    img = self.scene.render_converged_sharded(
+                        self.render_mesh, eye, front, right, up, self.frame,
+                        converged, cfg
+                    )
+                else:
+                    img = self.scene.render_converged(
+                        eye, front, right, up, self.frame, converged, cfg
+                    )
             elif self.render_mesh is not None:
                 img = self.scene.render_sharded(
                     self.render_mesh, eye, front, right, up, self.frame, cfg
