@@ -57,3 +57,33 @@ def test_app_converged_single_and_sharded(tmp_path):
     diff = np.abs(conv - conv_sh)
     assert diff.max() <= 1
     assert (diff == 0).mean() >= 0.99
+
+
+def test_sharded_survives_live_spp_cycling(tmp_path):
+    """spp is LIVE (the camera cycles it on 'r', quirk Q1) while the mesh
+    factorization is static — a frame whose spp the mesh cannot split must
+    fall back to the single-device render, not crash the session on the
+    shard-divisibility assert."""
+    import jax
+
+    from vrv_tpu.camera import RenderingPreferences
+    from vrv_tpu.config import RenderConfig, WorldConfig
+    from vrv_tpu.parallel.mesh import make_render_mesh
+    from vrv_tpu import app as app_mod
+
+    render_cfg = RenderConfig(width=16, height=8, samples_per_pixel=2,
+                              max_bounces=2)
+    world_cfg = WorldConfig(size=(32, 32, 32), origin=(-16, -16, -16), seed=0)
+    gw = app_mod.build_world(render_cfg, world_cfg)
+    gw.render_mesh = make_render_mesh(2, spp=2, height=8)
+    assert gw.render_mesh.shape["samples"] == 2
+
+    gw.camera.set_rendering_preferences(RenderingPreferences(samples=2))
+    f_sharded = gw.step()          # divisible: sharded path
+    gw.camera.set_rendering_preferences(RenderingPreferences(samples=1))
+    f_fallback = gw.step()         # 1 % 2 != 0: single-device fallback
+    assert np.asarray(f_sharded).std() > 0
+    assert np.asarray(f_fallback).std() > 0
+    # converged likewise: 3 chunks cannot split over 2 devices
+    f_conv = gw.step(converged=3)
+    assert np.asarray(f_conv).std() > 0

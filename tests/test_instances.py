@@ -132,3 +132,27 @@ def test_emissive_instance_is_light(block_table):
         [transform_mesh(unitcube(), Isometry(np.array([9.0, 5.0, 8.0])))]
     )
     assert sc.light_bvh is before
+
+
+def test_retextured_emissive_instance_rebuilds_lights(block_table):
+    """Equal geometry + equal power but different uv (or texture id) must
+    still rebuild the light structure: uv/tex feed the split-NEE direct
+    term's emission fetch, so a stale early-return would light the scene
+    from the old texels (regression for the _set_instance_lights change
+    check missing uv/tex)."""
+    lamp = int(block_table.block_idx("lamp"))
+    wc = WorldConfig(size=(16, 16, 16), origin=(0, 0, 0), seed=0)
+    grid = np.full(wc.size, block_table.air, dtype=np.uint8)
+    grid[:, :2, :] = block_table.block_idx("stone")
+    sc = Scene(wc, table=block_table, grid=grid)
+
+    mesh = unitcube()
+    mesh = dict(mesh, t=mesh["t"] + np.uint32(lamp * 6))
+    sc.set_instances([transform_mesh(mesh, Isometry(np.array([8.0, 6.0, 8.0])))])
+    before = sc.light_bvh
+    assert before.has_lights
+
+    # identical triangles and luminance-power-area, shifted uv
+    mesh2 = dict(mesh, uv=(mesh["uv"] + np.float32(0.25)) % 1.0)
+    sc.set_instances([transform_mesh(mesh2, Isometry(np.array([8.0, 6.0, 8.0])))])
+    assert sc.light_bvh is not before

@@ -87,6 +87,10 @@ def main(argv=None) -> int:
                 height=render_cfg.height,
             )
             print(f"sharded: mesh {dict(gw.render_mesh.shape)}")
+            if args.converged and args.converged % gw.render_mesh.devices.size:
+                print(f"--converged {args.converged} does not split over "
+                      f"{gw.render_mesh.devices.size} devices; frames will "
+                      "render single-device", file=sys.stderr)
     meter = FrameMeter()
     rays_per_frame = (
         render_cfg.width * render_cfg.height

@@ -326,23 +326,35 @@ class GameWorld:
             cfg = self.render_cfg.replace(
                 samples_per_pixel=self.camera.rendering_preferences().samples
             )
+            # the mesh factorization is static but spp is LIVE (the camera
+            # cycles it on 'r', quirk Q1) and converged chunks come from
+            # the caller — a request the mesh cannot split falls back to
+            # the single-device path for that frame instead of crashing
+            # the session on the shard-divisibility asserts
+            mesh = self.render_mesh
+            if mesh is not None:
+                if converged:
+                    if converged % mesh.devices.size:
+                        mesh = None
+                elif cfg.samples_per_pixel % mesh.shape["samples"]:
+                    mesh = None
             if radiance:
                 img = self.scene.render_samples(
                     eye, front, right, up, self.frame, cfg
                 ).mean(axis=0)
             elif converged:
-                if self.render_mesh is not None:
+                if mesh is not None:
                     img = self.scene.render_converged_sharded(
-                        self.render_mesh, eye, front, right, up, self.frame,
+                        mesh, eye, front, right, up, self.frame,
                         converged, cfg
                     )
                 else:
                     img = self.scene.render_converged(
                         eye, front, right, up, self.frame, converged, cfg
                     )
-            elif self.render_mesh is not None:
+            elif mesh is not None:
                 img = self.scene.render_sharded(
-                    self.render_mesh, eye, front, right, up, self.frame, cfg
+                    mesh, eye, front, right, up, self.frame, cfg
                 )
             else:
                 img = self.scene.render(eye, front, right, up, self.frame, cfg)

@@ -804,9 +804,13 @@ def _path_kernel(
                     f32(0.0),
                 )
 
+            # evaluate each light's importance ONCE; the W-sum and the
+            # selection scan reuse the same traced values (bit-identical,
+            # and halves the per-retire selection cost vs re-evaluating)
+            imps = [light_imp(j) for j in range(n_lights)]
             W = jnp.zeros_like(hpx)
             for j in range(n_lights):
-                W = W + light_imp(j)
+                W = W + imps[j]
             rW = r7 * W
             cum = jnp.zeros_like(hpx)
             found = jnp.zeros(hpx.shape, bool)
@@ -814,7 +818,7 @@ def _path_kernel(
             impc = jnp.zeros_like(hpx)
             cs = [jnp.zeros_like(hpx) for _ in range(9)]
             for j in range(n_lights):
-                imp_j = light_imp(j)
+                imp_j = imps[j]
                 cum = cum + imp_j
                 pick = (~found) & (cum > rW)
                 lidx = jnp.where(pick, i32(j), lidx)

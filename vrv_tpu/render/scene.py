@@ -396,6 +396,10 @@ class Scene:
             tri.shape == self._inst_light_tri.shape
             and np.array_equal(tri, self._inst_light_tri)
             and np.array_equal(lpa, self._inst_light_lpa)
+            # uv/tex feed the split-NEE direct-term emission fetch: equal
+            # geometry with a retextured emissive face still needs a rebuild
+            and np.array_equal(uv, self._inst_light_uv)
+            and np.array_equal(tex, self._inst_light_tex)
         ):
             return
         self._inst_light_tri = np.ascontiguousarray(tri, np.float32)
