@@ -10,11 +10,18 @@ block's cost is max over rays of the TOTAL path steps, instead of the
 sum over bounces of the per-bounce maxima (Jensen), and blocks whose
 rays all die early exit without touching later bounces at all.
 
-Scope (checked by the caller, render/megakernel.py): edit-free worldgen
-scenes with NO lights, NO entity instances, murmur3 RNG, and
-lambert-only materials for the reachable blocks (grass/stone: verified
-metallicity == 0 and alpha == 1 at asset load, so the scatter branch of
-shade.do_bounce is statically lambertian and needs no texel access).
+Scope (checked by the caller, render/megakernel.py): worldgen scenes
+with murmur3 RNG and lambert-only materials for the reachable VOXEL
+blocks (grass/stone: verified metallicity == 0 and alpha == 1 at asset
+load, so the voxel scatter branch is statically lambertian and needs no
+texel access). On top of that base the kernel carries, in-kernel:
+  - world edits — the <=64-entry SMEM edit list, compared at hit
+    resolution (air-or-opaque-lambert edits; ps.edits_lambert);
+  - entity instances — SMEM triangles with per-bounce Moller-Trumbore
+    and constant-material (mirror/transmit/lambert) scatter;
+  - split NEE — per non-last bounce, flat-light-list sampling and a
+    tcap'd shadow-ray sub-phase of the lane state machine (enabled by
+    `lights`, cfg.pallas_inkernel_nee).
 Texture-dependent radiance (reflectivity/emissivity fetches, sky, the
 radiance unroll) stays in XLA: the kernel returns per-bounce hit
 records + the sampled directions, and render/megakernel.py replays its
@@ -29,7 +36,9 @@ IN the core, wavefront-style separation of texture IO OUTSIDE it.
 
 Outputs per bounce b in [0, B): packed_b, t_b (trace_proc encoding);
 for b >= 1 additionally the direction d_b the kernel sampled and
-marched.
+marched; with instances, per-bounce instance-hit records (prim, t,
+bary); with lights, per non-last bounce the (chosen light index,
+shadow visibility) pair (see trace_path_pallas's docstring).
 """
 
 from __future__ import annotations
@@ -52,7 +61,11 @@ from vrv_tpu.ops.pallas.trace_proc import (
     _const_word_tree,
     _edit_overrides,
     _simplex3_seeded,
+    coarse_skip,
+    derive_y_cut,
     edit_smem_args,
+    exact_step,
+    slab_clip,
 )
 
 _2PI = float(2.0 * np.pi)
@@ -188,16 +201,7 @@ def _path_kernel(
     # is at/above the grid top (solid-capable everywhere — true for the
     # reference worldgen's shallow y_falloff at ground-level windows):
     # the cert could never fire and edits only raise the bound.
-    y_cut = None
-    if 0 <= ps.y_air < Y:
-        y_cut = i32(ps.y_air)
-        if E:
-            ekeys, esol, _ = edits
-            for e in range(E):
-                ey = (ekeys[e] >> 10) & 0x3FF
-                y_cut = jnp.maximum(
-                    y_cut, jnp.where(esol[e] != 0, ey + 1, 0)
-                )
+    y_cut = derive_y_cut(ps, edits if E else None, E)
 
     def inst_intersect(ox, oy, oz, dx, dy, dz):
         """Nearest instance-triangle hit per lane (Moller-Trumbore over the
@@ -265,12 +269,6 @@ def _path_kernel(
             s, _, _ = _apply_edits(cx, cy, cz, s, edits)
         return s & inside
 
-    def occ_read(level, bx, by, bz):
-        (Bx, By, Bz), words = level
-        idx = (bx * By + by) * Bz + bz
-        word = _const_word_tree(words, idx >> 5)
-        return (word & (jnp.int32(1) << (idx & 31))) != 0
-
     def init_march(ox, oy, oz, dx, dy, dz, want):
         """Fresh march state for rays in `want` (dda_proc._init formulas).
 
@@ -285,19 +283,9 @@ def _path_kernel(
         iy = 1.0 / jnp.where(bigy, tiny, dy)
         iz = 1.0 / jnp.where(bigz, tiny, dz)
 
-        def slab(o1, inv, big, size):
-            lo = (0.0 - o1) * inv
-            hi = (size - o1) * inv
-            tn = jnp.minimum(lo, hi)
-            tf = jnp.maximum(lo, hi)
-            inside1 = (o1 >= 0.0) & (o1 <= size)
-            tn = jnp.where(big, jnp.where(inside1, -_BIG, _BIG), tn)
-            tf = jnp.where(big, jnp.where(inside1, _BIG, -_BIG), tf)
-            return tn, tf
-
-        tnx, tfx = slab(ox, ix, bigx, f32(X))
-        tny, tfy = slab(oy, iy, bigy, f32(Y))
-        tnz, tfz = slab(oz, iz, bigz, f32(Z))
+        tnx, tfx = slab_clip(ox, ix, bigx, f32(X))
+        tny, tfy = slab_clip(oy, iy, bigy, f32(Y))
+        tnz, tfz = slab_clip(oz, iz, bigz, f32(Z))
         t_enter = jnp.maximum(jnp.maximum(tnx, tny), tnz)
         t_exit = jnp.minimum(jnp.minimum(tfx, tfy), tfz)
         enter_is_x = t_enter == tnx
@@ -406,97 +394,21 @@ def _path_kernel(
         bigx = jnp.abs(dx) < tiny
         bigy = jnp.abs(dy) < tiny
         bigz = jnp.abs(dz) < tiny
-        fx, fy, fz = scx.astype(f32), scy.astype(f32), scz.astype(f32)
 
         if coarse is not None:
-            lvl1, lvl2, env = coarse
-            occ2 = occ_read(lvl2, scx >> 5, scy >> 5, scz >> 5)
-            box_ok = ~occ2
-            box_lo_x = ((scx >> 5) * 32).astype(f32)
-            box_lo_y = ((scy >> 5) * 32).astype(f32)
-            box_lo_z = ((scz >> 5) * 32).astype(f32)
-            bf = f32(32.0)
-
-            def region_skip(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z):
-                tbx = jnp.where(bigx, _BIG, jnp.where(
-                    dx > 0, (hi_x - ox) * ix, (lo_x - ox) * ix))
-                tby = jnp.where(bigy, _BIG, jnp.where(
-                    dy > 0, (hi_y - oy) * iy, (lo_y - oy) * iy))
-                tbz = jnp.where(bigz, _BIG, jnp.where(
-                    dz > 0, (hi_z - oz) * iz, (lo_z - oz) * iz))
-                t_skip = jnp.minimum(jnp.minimum(tbx, tby), tbz)
-                ex_x = t_skip == tbx
-                ex_y = (~ex_x) & (t_skip == tby)
-
-                def skip_axis(is_exit, lo, hi, o1, d1):
-                    exact = jnp.where(d1 > 0, hi, lo).astype(i32) - (d1 > 0)
-                    flo = jnp.clip(
-                        jnp.floor(o1 + t_skip * d1).astype(i32),
-                        lo.astype(i32), hi.astype(i32) - 1,
-                    )
-                    return jnp.where(is_exit, exact, flo)
-
-                kx = skip_axis(ex_x, lo_x, hi_x, ox, dx)
-                ky = skip_axis(ex_y, lo_y, hi_y, oy, dy)
-                kz = skip_axis(~(ex_x | ex_y), lo_z, hi_z, oz, dz)
-                return t_skip, kx, ky, kz
-
-            tb, bkx, bky, bkz = region_skip(
-                box_lo_x, box_lo_y, box_lo_z,
-                box_lo_x + bf, box_lo_y + bf, box_lo_z + bf,
-            )
-            if env is not None:
-                (Bx, Bz), ebits, ewords = env
-                eidx = (scx >> 3) * Bz + (scz >> 3)
-                if ebits == 8:
-                    eword = _const_word_tree(ewords, eidx >> 2)
-                    y_low = (eword >> (8 * (eidx & 3))) & 0xFF
-                else:
-                    eword = _const_word_tree(ewords, eidx >> 1)
-                    y_low = (eword >> (16 * (eidx & 1))) & 0xFFFF
-                env_ok = scy >= y_low
-                te, ekx, eky, ekz = region_skip(
-                    ((scx >> 3) * 8).astype(f32), y_low.astype(f32),
-                    ((scz >> 3) * 8).astype(f32),
-                    ((scx >> 3) * 8 + 8).astype(f32), f32(Y),
-                    ((scz >> 3) * 8 + 8).astype(f32),
-                )
-                pick_env = env_ok & (~box_ok | (te >= tb))
-                t_skip = jnp.where(pick_env, te, tb)
-                kx = jnp.where(pick_env, ekx, bkx)
-                ky = jnp.where(pick_env, eky, bky)
-                kz = jnp.where(pick_env, ekz, bkz)
-                cert = box_ok | env_ok
-            else:
-                t_skip, kx, ky, kz = tb, bkx, bky, bkz
-                cert = box_ok
-            skip_inside = (
-                (kx >= 0) & (kx < X) & (ky >= 0) & (ky < Y) & (kz >= 0) & (kz < Z)
-            )
-            skip_out = ~skip_inside | (t_skip > tmax_v)
-            can_skip = (
-                marching & cert
-                & ((kx != scx) | (ky != scy) | (kz != scz))
+            kx, ky, kz, skip_inside, skip_out, can_skip = coarse_skip(
+                coarse, marching, scx, scy, scz, ox, oy, oz, dx, dy, dz,
+                ix, iy, iz, bigx, bigy, bigz, (X, Y, Z), tmax_v,
             )
         else:
             kx = ky = kz = scx
             skip_inside = skip_out = jnp.zeros_like(marching)
             can_skip = jnp.zeros_like(marching)
 
-        tax = jnp.where(bigx, _BIG, (fx + (dx > 0) - ox) * ix)
-        tay = jnp.where(bigy, _BIG, (fy + (dy > 0) - oy) * iy)
-        taz = jnp.where(bigz, _BIG, (fz + (dz > 0) - oz) * iz)
-        t_next = jnp.minimum(jnp.minimum(tax, tay), taz)
-        ax_x = t_next == tax
-        ax_y = (~ax_x) & (t_next == tay)
-        axis = jnp.where(ax_x, 0, jnp.where(ax_y, 1, 2))
-        d_axis = jnp.where(ax_x, dx, jnp.where(ax_y, dy, dz))
-        sgn = jnp.where(d_axis > 0, 1, -1).astype(i32)
-        ex_ = scx + jnp.where(ax_x, sgn, 0)
-        ey_ = scy + jnp.where(ax_y, sgn, 0)
-        ez_ = scz + jnp.where(ax_x | ax_y, 0, sgn)
-        inside_exact = (
-            (ex_ >= 0) & (ex_ < X) & (ey_ >= 0) & (ey_ < Y) & (ez_ >= 0) & (ez_ < Z)
+        (t_next, axis, sgn, ex_, ey_, ez_, inside_exact,
+         ax_x, ax_y) = exact_step(
+            scx, scy, scz, ox, oy, oz, dx, dy, dz, ix, iy, iz,
+            bigx, bigy, bigz, (X, Y, Z),
         )
 
         nx = jnp.where(can_skip, kx, ex_)
@@ -1195,6 +1107,13 @@ def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
     B = int(n_bounces)
     import vrv_tpu.ops.pallas.trace_proc as _tp
 
+    # zero-row tables degrade to the feature-off path: the kernel's
+    # positional ref unpack skips the SMEM slot when n_inst/n_lights is 0,
+    # so passing the (empty) arrays anyway would shift every later ref
+    if inst is not None and int(inst["tri"].shape[0]) == 0:
+        inst = None
+    if lights is not None and int(lights["tri"].shape[0]) == 0:
+        lights = None
     n_inst = 0
     inst_args = ()
     inst_mat = None

@@ -160,8 +160,9 @@ def _pack_occupancy(occ: np.ndarray):
 def coarse_consts(coarse: np.ndarray, grid: np.ndarray = None, air_id: int = 0):
     """Static skip structures from the scene's coarse distance table.
 
-    Level 1: 8-cell blocks (occupied = coarse == 0). Level 2: 32-cell
-    superblocks (4x4x4 blocks, occupied if any member block is).
+    Level 2: 32-cell superblocks (4x4x4 8-cell blocks, a superblock is
+    occupied if any member block is; the 8-cell level itself is NOT
+    shipped — measured in-kernel, its select-tree cost ~ its win).
     Level 3 (from `grid` when given): per 8x8 (x,z) column-block height
     envelope — y_low[bx,bz] = 1 + the highest solid y anywhere in that
     column region (0 if none), so every cell with y >= y_low is air.
@@ -169,9 +170,10 @@ def coarse_consts(coarse: np.ndarray, grid: np.ndarray = None, air_id: int = 0):
     blocks all contain solids below them (block occupancy never fires);
     worldgen air lies above the terrain (density falls with +y).
 
-    Returns a hashable ((shape1, words1), (shape2, words2), env) tuple;
-    env = ((Bx, Bz), words) with y_low packed 2 x 16-bit per word, or
-    None without `grid`.
+    Returns a hashable ((shape2, words2), env) tuple; env = ((Bx, Bz),
+    bits, words) with y_low packed 4 x 8-bit or 2 x 16-bit per word, or
+    None without `grid`. The tuple is a jit-static argument (hashed per
+    call), so dead levels are deliberately not carried.
     """
     occ = np.asarray(coarse) == 0
     s1 = occ.shape
@@ -211,7 +213,6 @@ def coarse_consts(coarse: np.ndarray, grid: np.ndarray = None, air_id: int = 0):
             env = ((Bx, Bz), 16, tuple(int(w) for w in words))
 
     return (
-        (s1, _pack_occupancy(occ)),
         (sup_shape, _pack_occupancy(sup)),
         env,
     )
@@ -256,6 +257,166 @@ def _apply_edits(cx, cy, cz, wg_solid, edits):
     return solid, edited_b, tl_i
 
 
+# ---------------------------------------------------------------------------
+# March machinery shared by BOTH kernels (_trace_kernel here and
+# path_proc._path_kernel). The formulas must stay bit-identical across the
+# tracers — the fused==staged and pallas==XLA parity gates depend on it —
+# so there is exactly one copy; every argument is a loop-invariant value
+# or the current per-lane state, never a ref.
+# ---------------------------------------------------------------------------
+
+
+def slab_clip(o1, inv, big, size):
+    """Per-axis slab interval for the grid [0, size] (dda_proc._init)."""
+    lo = (0.0 - o1) * inv
+    hi = (size - o1) * inv
+    tn = jnp.minimum(lo, hi)
+    tf = jnp.maximum(lo, hi)
+    inside1 = (o1 >= 0.0) & (o1 <= size)
+    tn = jnp.where(big, jnp.where(inside1, -_BIG, _BIG), tn)
+    tf = jnp.where(big, jnp.where(inside1, _BIG, -_BIG), tf)
+    return tn, tf
+
+
+def occ_read(level, bx, by, bz):
+    """Bit lookup into a packed compile-time occupancy bitset."""
+    (Bx, By, Bz), words = level
+    idx = (bx * By + by) * Bz + bz
+    word = _const_word_tree(words, idx >> 5)
+    return (word & (jnp.int32(1) << (idx & 31))) != 0
+
+
+def derive_y_cut(ps, edits, E):
+    """Upward-exit certificate bound: every cell with cy >= y_cut is air —
+    worldgen bound from the pristine grid, solid edits raise it at runtime
+    from their SMEM keys (loop-invariant scalar math, once per kernel).
+    None when the bound is at/above the grid top (compiled out)."""
+    if not (0 <= ps.y_air < ps.shape[1]):
+        return None
+    y_cut = jnp.int32(ps.y_air)
+    if E:
+        ekeys, esol, _ = edits
+        for e in range(E):
+            ey = (ekeys[e] >> 10) & 0x3FF
+            y_cut = jnp.maximum(y_cut, jnp.where(esol[e] != 0, ey + 1, 0))
+    return y_cut
+
+
+def coarse_skip(coarse, mask, scx, scy, scz, ox, oy, oz, dx, dy, dz,
+                ix, iy, iz, bigx, bigy, bigz, dims, tmax_v):
+    """Constant air-region certificates at the current cell (the in-kernel
+    analog of dda_proc's coarse skip; all data baked as compile-time
+    words, zero memory traffic):
+      box: the 32-cell superblock containing the cell is all-air;
+      env: the cell lies at/above the 8x8 column-block's height envelope
+           (y >= y_low => air) — serves terrain-grazing rays, whose
+           blocks are never empty.
+    The ray jumps to the last air cell inside the farther certified
+    region. `mask` is the per-lane is-marching predicate. Returns
+    (kx, ky, kz, skip_inside, skip_out, can_skip)."""
+    f32 = jnp.float32
+    i32 = jnp.int32
+    X, Y, Z = dims
+    lvl2, env = coarse
+    occ2 = occ_read(lvl2, scx >> 5, scy >> 5, scz >> 5)
+    box_ok = ~occ2
+    box_lo_x = ((scx >> 5) * 32).astype(f32)
+    box_lo_y = ((scy >> 5) * 32).astype(f32)
+    box_lo_z = ((scz >> 5) * 32).astype(f32)
+    bf = f32(32.0)
+
+    def region_skip(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z):
+        tbx = jnp.where(bigx, _BIG, jnp.where(
+            dx > 0, (hi_x - ox) * ix, (lo_x - ox) * ix))
+        tby = jnp.where(bigy, _BIG, jnp.where(
+            dy > 0, (hi_y - oy) * iy, (lo_y - oy) * iy))
+        tbz = jnp.where(bigz, _BIG, jnp.where(
+            dz > 0, (hi_z - oz) * iz, (lo_z - oz) * iz))
+        t_skip = jnp.minimum(jnp.minimum(tbx, tby), tbz)
+        ex_x = t_skip == tbx
+        ex_y = (~ex_x) & (t_skip == tby)
+
+        def skip_axis(is_exit, lo, hi, o1, d1):
+            # land on the LAST air cell in the region on this axis
+            exact = jnp.where(d1 > 0, hi, lo).astype(i32) - (d1 > 0)
+            flo = jnp.clip(
+                jnp.floor(o1 + t_skip * d1).astype(i32),
+                lo.astype(i32),
+                hi.astype(i32) - 1,
+            )
+            return jnp.where(is_exit, exact, flo)
+
+        kx = skip_axis(ex_x, lo_x, hi_x, ox, dx)
+        ky = skip_axis(ex_y, lo_y, hi_y, oy, dy)
+        kz = skip_axis(~(ex_x | ex_y), lo_z, hi_z, oz, dz)
+        return t_skip, kx, ky, kz
+
+    tb, bkx, bky, bkz = region_skip(
+        box_lo_x, box_lo_y, box_lo_z,
+        box_lo_x + bf, box_lo_y + bf, box_lo_z + bf,
+    )
+    if env is not None:
+        (Bx, Bz), ebits, ewords = env
+        eidx = (scx >> 3) * Bz + (scz >> 3)
+        if ebits == 8:
+            eword = _const_word_tree(ewords, eidx >> 2)
+            y_low = (eword >> (8 * (eidx & 3))) & 0xFF
+        else:
+            eword = _const_word_tree(ewords, eidx >> 1)
+            y_low = (eword >> (16 * (eidx & 1))) & 0xFFFF
+        env_ok = scy >= y_low
+        te, ekx, eky, ekz = region_skip(
+            ((scx >> 3) * 8).astype(f32), y_low.astype(f32),
+            ((scz >> 3) * 8).astype(f32),
+            ((scx >> 3) * 8 + 8).astype(f32), f32(Y),
+            ((scz >> 3) * 8 + 8).astype(f32),
+        )
+        pick_env = env_ok & (~box_ok | (te >= tb))
+        t_skip = jnp.where(pick_env, te, tb)
+        kx = jnp.where(pick_env, ekx, bkx)
+        ky = jnp.where(pick_env, eky, bky)
+        kz = jnp.where(pick_env, ekz, bkz)
+        cert = box_ok | env_ok
+    else:
+        t_skip, kx, ky, kz = tb, bkx, bky, bkz
+        cert = box_ok
+    skip_inside = (
+        (kx >= 0) & (kx < X) & (ky >= 0) & (ky < Y) & (kz >= 0) & (kz < Z)
+    )
+    skip_out = ~skip_inside | (t_skip > tmax_v)
+    can_skip = (
+        mask & cert
+        & ((kx != scx) | (ky != scy) | (kz != scz))
+    )
+    return kx, ky, kz, skip_inside, skip_out, can_skip
+
+
+def exact_step(scx, scy, scz, ox, oy, oz, dx, dy, dz, ix, iy, iz,
+               bigx, bigy, bigz, dims):
+    """One exact DDA cell step (dda_proc._body formulas). Returns
+    (t_next, axis, sgn, ex_, ey_, ez_, inside_exact, ax_x, ax_y)."""
+    f32 = jnp.float32
+    i32 = jnp.int32
+    X, Y, Z = dims
+    fx, fy, fz = scx.astype(f32), scy.astype(f32), scz.astype(f32)
+    tax = jnp.where(bigx, _BIG, (fx + (dx > 0) - ox) * ix)
+    tay = jnp.where(bigy, _BIG, (fy + (dy > 0) - oy) * iy)
+    taz = jnp.where(bigz, _BIG, (fz + (dz > 0) - oz) * iz)
+    t_next = jnp.minimum(jnp.minimum(tax, tay), taz)
+    ax_x = t_next == tax
+    ax_y = (~ax_x) & (t_next == tay)
+    axis = jnp.where(ax_x, 0, jnp.where(ax_y, 1, 2))
+    d_axis = jnp.where(ax_x, dx, jnp.where(ax_y, dy, dz))
+    sgn = jnp.where(d_axis > 0, 1, -1).astype(i32)
+    ex_ = scx + jnp.where(ax_x, sgn, 0)
+    ey_ = scy + jnp.where(ax_y, sgn, 0)
+    ez_ = scz + jnp.where(ax_x | ax_y, 0, sgn)
+    inside_exact = (
+        (ex_ >= 0) & (ex_ < X) & (ey_ >= 0) & (ey_ < Y) & (ez_ >= 0) & (ez_ < Z)
+    )
+    return t_next, axis, sgn, ex_, ey_, ez_, inside_exact, ax_x, ax_y
+
+
 def _trace_kernel(
     *refs, ps, t_min, t_max, unroll=1, coarse=None, max_steps_cap=0,
     has_tcap=False,
@@ -284,22 +445,11 @@ def _trace_kernel(
         t_ref, packed_ref = rest
 
     # upward-exit certificate bound (ProcStatic.y_air): every cell with
-    # cy >= y_cut is air — worldgen bound from the pristine grid, solid
-    # edits raise it at runtime from their SMEM keys (loop-invariant
-    # scalar math, computed once per kernel). Compiled out when the bound
-    # is at/above the grid top (solid-capable everywhere — true for the
-    # reference worldgen's shallow y_falloff at ground-level windows):
-    # the cert could never fire and edits only raise the bound.
-    y_cut = None
-    if 0 <= ps.y_air < ps.shape[1]:
-        y_cut = jnp.int32(ps.y_air)
-        if E:
-            ekeys, esol, _ = edits
-            for e in range(E):
-                ey = (ekeys[e] >> 10) & 0x3FF
-                y_cut = jnp.maximum(
-                    y_cut, jnp.where(esol[e] != 0, ey + 1, 0)
-                )
+    # Compiled out when the bound is at/above the grid top (solid-capable
+    # everywhere — true for the reference worldgen's shallow y_falloff at
+    # ground-level windows): the cert could never fire there and edits
+    # only raise the bound. See derive_y_cut.
+    y_cut = derive_y_cut(ps, edits if E else None, E)
 
     ox = ox_ref[:]
     oy = oy_ref[:]
@@ -338,19 +488,9 @@ def _trace_kernel(
         return s, t
 
     # ---- init: slab clip + boundary-entry hit (dda_proc._init formulas) ----
-    def slab(o1, inv, big, size):
-        lo = (0.0 - o1) * inv
-        hi = (size - o1) * inv
-        tn = jnp.minimum(lo, hi)
-        tf = jnp.maximum(lo, hi)
-        inside1 = (o1 >= 0.0) & (o1 <= size)
-        tn = jnp.where(big, jnp.where(inside1, -_BIG, _BIG), tn)
-        tf = jnp.where(big, jnp.where(inside1, _BIG, -_BIG), tf)
-        return tn, tf
-
-    tnx, tfx = slab(ox, ix, bigx, f32(X))
-    tny, tfy = slab(oy, iy, bigy, f32(Y))
-    tnz, tfz = slab(oz, iz, bigz, f32(Z))
+    tnx, tfx = slab_clip(ox, ix, bigx, f32(X))
+    tny, tfy = slab_clip(oy, iy, bigy, f32(Y))
+    tnz, tfz = slab_clip(oz, iz, bigz, f32(Z))
     t_enter = jnp.maximum(jnp.maximum(tnx, tny), tnz)
     t_exit = jnp.minimum(jnp.minimum(tfx, tfy), tfz)
     enter_is_x = t_enter == tnx
@@ -398,12 +538,6 @@ def _trace_kernel(
     def cond(s):
         return (jnp.max(s[0]) > 0) & (s[12] < max_steps)
 
-    def occ_read(level, bx, by, bz):
-        (Bx, By, Bz), words = level
-        idx = (bx * By + by) * Bz + bz
-        word = _const_word_tree(words, idx >> 5)
-        return (word & (jnp.int32(1) << (idx & 31))) != 0
-
     def body(s):
         (alive_i, scx, scy, scz, cur_solid_i, hit_i, t, face, hx, hy, hz,
          entering_i, steps) = s[:13]
@@ -412,111 +546,21 @@ def _trace_kernel(
         cur_tl = (s[13] != 0) if E else ~cur_solid
         hit = hit_i != 0
         entering = entering_i != 0
-        fx, fy, fz = scx.astype(f32), scy.astype(f32), scz.astype(f32)
 
         if coarse is not None:
-            # --- constant air-region certificates at the current cell
-            # (the in-kernel analog of dda_proc's coarse skip; all data
-            # baked as compile-time words, zero memory traffic):
-            #   box: the 32-cell superblock (or 8-cell block) containing
-            #        the cell is all-air;
-            #   env: the cell lies at/above the 8x8 column-block's height
-            #        envelope (y >= y_low => air) — this one serves
-            #        terrain-grazing rays, whose blocks are never empty.
-            # The ray jumps to the last air cell inside the farther
-            # certified region ---
-            lvl1, lvl2, env = coarse
-            del lvl1  # measured: the 8-cell level adds tree cost ~ its win
-            occ2 = occ_read(lvl2, scx >> 5, scy >> 5, scz >> 5)
-            box_ok = ~occ2
-            box_lo_x = ((scx >> 5) * 32).astype(f32)
-            box_lo_y = ((scy >> 5) * 32).astype(f32)
-            box_lo_z = ((scz >> 5) * 32).astype(f32)
-            bf = f32(32.0)
-
-            def region_skip(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z):
-                tbx = jnp.where(bigx, _BIG, jnp.where(
-                    dx > 0, (hi_x - ox) * ix, (lo_x - ox) * ix))
-                tby = jnp.where(bigy, _BIG, jnp.where(
-                    dy > 0, (hi_y - oy) * iy, (lo_y - oy) * iy))
-                tbz = jnp.where(bigz, _BIG, jnp.where(
-                    dz > 0, (hi_z - oz) * iz, (lo_z - oz) * iz))
-                t_skip = jnp.minimum(jnp.minimum(tbx, tby), tbz)
-                ex_x = t_skip == tbx
-                ex_y = (~ex_x) & (t_skip == tby)
-
-                def skip_axis(is_exit, lo, hi, o1, d1):
-                    # land on the LAST air cell in the region on this axis
-                    exact = jnp.where(d1 > 0, hi, lo).astype(i32) - (d1 > 0)
-                    flo = jnp.clip(
-                        jnp.floor(o1 + t_skip * d1).astype(i32),
-                        lo.astype(i32),
-                        hi.astype(i32) - 1,
-                    )
-                    return jnp.where(is_exit, exact, flo)
-
-                kx = skip_axis(ex_x, lo_x, hi_x, ox, dx)
-                ky = skip_axis(ex_y, lo_y, hi_y, oy, dy)
-                kz = skip_axis(~(ex_x | ex_y), lo_z, hi_z, oz, dz)
-                return t_skip, kx, ky, kz
-
-            tb, bkx, bky, bkz = region_skip(
-                box_lo_x, box_lo_y, box_lo_z,
-                box_lo_x + bf, box_lo_y + bf, box_lo_z + bf,
-            )
-            if env is not None:
-                (Bx, Bz), ebits, ewords = env
-                eidx = (scx >> 3) * Bz + (scz >> 3)
-                if ebits == 8:
-                    eword = _const_word_tree(ewords, eidx >> 2)
-                    y_low = (eword >> (8 * (eidx & 3))) & 0xFF
-                else:
-                    eword = _const_word_tree(ewords, eidx >> 1)
-                    y_low = (eword >> (16 * (eidx & 1))) & 0xFFFF
-                env_ok = scy >= y_low
-                te, ekx, eky, ekz = region_skip(
-                    ((scx >> 3) * 8).astype(f32), y_low.astype(f32),
-                    ((scz >> 3) * 8).astype(f32),
-                    ((scx >> 3) * 8 + 8).astype(f32), f32(Y),
-                    ((scz >> 3) * 8 + 8).astype(f32),
-                )
-                pick_env = env_ok & (~box_ok | (te >= tb))
-                t_skip = jnp.where(pick_env, te, tb)
-                kx = jnp.where(pick_env, ekx, bkx)
-                ky = jnp.where(pick_env, eky, bky)
-                kz = jnp.where(pick_env, ekz, bkz)
-                cert = box_ok | env_ok
-            else:
-                t_skip, kx, ky, kz = tb, bkx, bky, bkz
-                cert = box_ok
-            skip_inside = (
-                (kx >= 0) & (kx < X) & (ky >= 0) & (ky < Y) & (kz >= 0) & (kz < Z)
-            )
-            skip_out = ~skip_inside | (t_skip > tmax_v)
-            can_skip = (
-                alive & cert
-                & ((kx != scx) | (ky != scy) | (kz != scz))
+            kx, ky, kz, skip_inside, skip_out, can_skip = coarse_skip(
+                coarse, alive, scx, scy, scz, ox, oy, oz, dx, dy, dz,
+                ix, iy, iz, bigx, bigy, bigz, (X, Y, Z), tmax_v,
             )
         else:
             kx = ky = kz = scx  # unused
             skip_inside = skip_out = jnp.zeros_like(alive)
             can_skip = jnp.zeros_like(alive)
 
-        # --- exact one-cell DDA step (dda_proc._body formulas) ---
-        tax = jnp.where(bigx, _BIG, (fx + (dx > 0) - ox) * ix)
-        tay = jnp.where(bigy, _BIG, (fy + (dy > 0) - oy) * iy)
-        taz = jnp.where(bigz, _BIG, (fz + (dz > 0) - oz) * iz)
-        t_next = jnp.minimum(jnp.minimum(tax, tay), taz)
-        ax_x = t_next == tax
-        ax_y = (~ax_x) & (t_next == tay)
-        axis = jnp.where(ax_x, 0, jnp.where(ax_y, 1, 2))
-        d_axis = jnp.where(ax_x, dx, jnp.where(ax_y, dy, dz))
-        sgn = jnp.where(d_axis > 0, 1, -1).astype(i32)
-        ex_ = scx + jnp.where(ax_x, sgn, 0)
-        ey_ = scy + jnp.where(ax_y, sgn, 0)
-        ez_ = scz + jnp.where(ax_x | ax_y, 0, sgn)
-        inside_exact = (
-            (ex_ >= 0) & (ex_ < X) & (ey_ >= 0) & (ey_ < Y) & (ez_ >= 0) & (ez_ < Z)
+        (t_next, axis, sgn, ex_, ey_, ez_, inside_exact,
+         ax_x, ax_y) = exact_step(
+            scx, scy, scz, ox, oy, oz, dx, dy, dz, ix, iy, iz,
+            bigx, bigy, bigz, (X, Y, Z),
         )
 
         nx = jnp.where(can_skip, kx, ex_)

@@ -385,11 +385,14 @@ def render_samples(
             if split_nee and bounce < B - 1:
                 split_T.append(jnp.where(alive[:, None], throughput, 0.0))
                 split_direct.append(br.direct)
-                split_so.append(br.new_origin)
-                split_sd.append(br.shadow_dir)
-                split_dist.append(br.shadow_dist)
                 if fused_nee is not None:
+                    # in-kernel NEE already marched the shadow rays; only
+                    # the recorded visibility feeds the direct term below
                     split_kvis.append(fused_nee[bounce][1])
+                else:
+                    split_so.append(br.new_origin)
+                    split_sd.append(br.shadow_dir)
+                    split_dist.append(br.shadow_dist)
             w_prev = br.w
             color = color + jnp.where(alive[:, None], throughput * e_b, 0.0)
             throughput = jnp.where(
