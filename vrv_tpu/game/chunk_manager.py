@@ -70,7 +70,7 @@ class ChunkQuerier:
 
         if native.lib is not None:
             return native.trace_to_solid(
-                np.asarray(self.scene.grid), self.scene.origin,
+                self.scene.grid_host, self.scene.origin,
                 self.scene.table.solid, origin, direction, radius,
             )
         step = 0.01
@@ -152,6 +152,8 @@ class ChunkManager(Manager):
         self.budget = budget_per_frame
         self.center_chunk = np.zeros(3, np.int64)
         self.chunks: Dict[Tuple[int, int, int], ChunkRecord] = {}
+        # edits into not-yet-generated chunks, replayed at generation time
+        self._pending_edits: Dict[Tuple[int, int, int], List] = {}
         self.tick = 0
         self.cfg = scene.world_cfg
         self._assembled_at = -1
@@ -168,7 +170,7 @@ class ChunkManager(Manager):
     def _adopt_scene_grid(self) -> None:
         """Split the scene's dense grid into chunk records (so worldgen isn't
         recomputed for already-materialized blocks, preserving edits)."""
-        grid = np.asarray(self.scene.grid)
+        grid = self.scene.grid_host
         org = self.scene.origin.astype(np.int64)
         cs = np.asarray(chunklib.CHUNK_SHAPE, np.int64)
         if (org % cs != 0).any() or (np.asarray(grid.shape) % cs != 0).any():
@@ -205,29 +207,31 @@ class ChunkManager(Manager):
         d = np.abs(np.asarray(chunk_position) - self.center_chunk)
         return bool((d <= self.cfg.max_render_radius).all())
 
-    def _sync_chunk_into_grid(self, key: Tuple[int, int, int], rec: ChunkRecord):
-        """Write generated chunk cells into the scene's dense window."""
+    def _sync_chunk_into_grid(self, key: Tuple[int, int, int],
+                              rec: ChunkRecord, host: np.ndarray) -> bool:
+        """Write generated chunk cells into `host` (a copy of the scene's
+        dense window). Returns True when cells were written. The caller
+        commits the batch through Scene.set_grid so the host mirror AND
+        every derived structure (dist field, packed rows, light BVH, proc
+        bundle) update together — a direct device-grid write would render
+        stale acceleration structures over the new terrain."""
         cs = np.asarray(chunklib.CHUNK_SHAPE, np.int64)
         base = np.asarray(key, np.int64) * cs  # world block coords
         org = self.scene.origin.astype(np.int64)
-        size = np.asarray(self.scene.grid.shape, np.int64)
+        size = np.asarray(host.shape, np.int64)
         lo = np.maximum(base - org, 0)
         hi = np.minimum(base - org + cs, size)
         if (lo >= hi).any():
             rec.synced_at = rec.data_set_at
-            return
-        import jax.numpy as jnp
-
+            return False
         src_lo = lo - (base - org)
-        sub = rec.data[
+        host[lo[0]: hi[0], lo[1]: hi[1], lo[2]: hi[2]] = rec.data[
             src_lo[0]: src_lo[0] + hi[0] - lo[0],
             src_lo[1]: src_lo[1] + hi[1] - lo[1],
             src_lo[2]: src_lo[2] + hi[2] - lo[2],
         ]
-        self.scene.grid = self.scene.grid.at[
-            lo[0]: hi[0], lo[1]: hi[1], lo[2]: hi[2]
-        ].set(jnp.asarray(sub))
         rec.synced_at = rec.data_set_at
+        return True
 
     def update(self, data: UpdateData) -> List[object]:
         # replay WorldSetBlock (chunk_manager.rs:516-526)
@@ -268,15 +272,29 @@ class ChunkManager(Manager):
             rec = self.chunks[key]
             rec.data_started_generating = self.tick
             rec.data = chunklib.generate_chunk(self.cfg, self.scene.table, key)
+            # replay edits made while this chunk had no data yet (the
+            # edit reached the scene grid but no record could hold it;
+            # without the replay, pristine worldgen would revert it)
+            pend = self._pending_edits.pop(key, ())
+            if pend:
+                rec.data = np.array(rec.data)  # worldgen output is read-only
+                for bc, block_id in pend:
+                    rec.data[tuple(bc)] = block_id
             rec.data_set_at = self.tick
 
         if move_window:
             self._assemble_window()
             return
+        host = None
+        dirty = False
         for key, rec in self.chunks.items():
             if rec.data is not None and rec.data_set_at is not None:
                 if rec.synced_at is None or rec.data_set_at > rec.synced_at:
-                    self._sync_chunk_into_grid(key, rec)
+                    if host is None:
+                        host = np.array(self.scene.grid_host)
+                    dirty |= self._sync_chunk_into_grid(key, rec, host)
+        if dirty:
+            self.scene.set_grid(host, self.scene.origin)
 
     def _assemble_window(self) -> None:
         """Rebuild the scene's dense window centred on the current chunk
@@ -311,6 +329,12 @@ class ChunkManager(Manager):
             new_data[tuple(bc)] = block_id
             rec.data = new_data
             rec.data_set_at = self.tick
+        elif self.generate:
+            # record-less chunk (pending generation): remember the edit so
+            # worldgen replays it instead of reverting it
+            self._pending_edits.setdefault(key, []).append(
+                (tuple(int(x) for x in bc), block_id)
+            )
         # neighbor re-dirtying at chunk borders (chunk_manager.rs:352-391)
         cs = np.asarray(chunklib.CHUNK_SHAPE, np.int64)
         for axis in range(3):

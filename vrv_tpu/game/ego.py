@@ -40,10 +40,9 @@ from vrv_tpu.game.world import (
     quat_rotate,
 )
 
-# face -> adjacent offset for placement (ego_controls_manager.rs:262-269)
-_PLACE_OFFSET = np.array(
-    [[-1, 0, 0], [1, 0, 0], [0, -1, 0], [0, 1, 0], [0, 0, -1], [0, 0, 1]], np.int64
-)
+# face -> adjacent offset for placement (ego_controls_manager.rs:262-269);
+# ONE copy of the face-order truth table, shared with the mesher/picker
+from vrv_tpu.game.chunk import FACE_NEIGHBOR as _PLACE_OFFSET
 
 _SPP_CYCLE = {1: 2, 2: 4, 4: 8, 8: 16, 16: 32, 32: 64}  # :100-108
 

@@ -70,7 +70,9 @@ class VoxelCollider:
 
     def _solid_in_box(self, lo: np.ndarray, hi: np.ndarray) -> bool:
         """Any solid voxel overlapping the world-space AABB [lo, hi]."""
-        grid = np.asarray(self.scene.grid)
+        # host mirror: this runs per frame per body — reading scene.grid
+        # would pull the whole device array through the TPU tunnel
+        grid = self.scene.grid_host
         origin = self.scene.origin
         solid = self.scene.table.solid
         c_lo = np.floor(lo - origin).astype(np.int64)
@@ -96,7 +98,7 @@ class VoxelCollider:
         lo = position - half
         hi = position + half
         origin = self.scene.origin
-        grid = np.asarray(self.scene.grid)
+        grid = self.scene.grid_host
         solid = self.scene.table.solid
         size = np.asarray(grid.shape)
 
@@ -131,7 +133,12 @@ class VoxelCollider:
     def move(self, position: np.ndarray, half: np.ndarray, delta: np.ndarray):
         """Axis-separated swept move with clamping (dynamic bodies).
 
-        Returns (new_position, blocked_mask).
+        Returns (new_position, blocked_mask). The per-axis travel is
+        substepped so consecutive tested AABBs overlap across any 1-cell
+        wall (substep <= 2*half + 0.5): a destination-only test would let
+        a large impulse (|delta| > 2*half + 1) tunnel through thin
+        geometry. Typical frame deltas (v*dt ~ 0.17) take one substep, so
+        the common path is unchanged.
         """
         pos = position.astype(np.float64).copy()
         blocked = np.zeros(3, bool)
@@ -139,22 +146,27 @@ class VoxelCollider:
             d = float(delta[axis])
             if d == 0.0:
                 continue
-            trial = pos.copy()
-            trial[axis] += d
-            if not self._solid_in_box(trial - half, trial + half):
-                pos = trial
-                continue
-            # binary search the largest non-colliding travel
-            lo_t, hi_t = 0.0, 1.0
-            for _ in range(20):
-                mid = 0.5 * (lo_t + hi_t)
-                trial[axis] = pos[axis] + d * mid
-                if self._solid_in_box(trial - half, trial + half):
-                    hi_t = mid
-                else:
-                    lo_t = mid
-            pos[axis] += d * lo_t
-            blocked[axis] = True
+            max_sub = 2.0 * float(half[axis]) + 0.5
+            n_sub = max(1, int(np.ceil(abs(d) / max_sub)))
+            sub_d = d / n_sub
+            for _ in range(n_sub):
+                trial = pos.copy()
+                trial[axis] += sub_d
+                if not self._solid_in_box(trial - half, trial + half):
+                    pos = trial
+                    continue
+                # binary search the largest non-colliding travel
+                lo_t, hi_t = 0.0, 1.0
+                for _ in range(20):
+                    mid = 0.5 * (lo_t + hi_t)
+                    trial[axis] = pos[axis] + sub_d * mid
+                    if self._solid_in_box(trial - half, trial + half):
+                        hi_t = mid
+                    else:
+                        lo_t = mid
+                pos[axis] += sub_d * lo_t
+                blocked[axis] = True
+                break
         return pos, blocked
 
 

@@ -254,9 +254,11 @@ def build_light_bvh(
 
         old = sys.getrecursionlimit()
         sys.setrecursionlimit(max(old, 4 * n + 100))
-        root = new_leafish(np.arange(n))
-        subdivide(root)
-        sys.setrecursionlimit(old)
+        try:
+            root = new_leafish(np.arange(n))
+            subdivide(root)
+        finally:
+            sys.setrecursionlimit(old)
 
     n_nodes = len(nodes)
     if capacity is None:
@@ -300,10 +302,20 @@ def build_light_bvh(
             lum6[i] = lum6[left[i]] + lum6[right[i]]
 
     # depth
-    def depth_of(i: int) -> int:
-        if is_leaf[i]:
-            return 1
-        return 1 + max(depth_of(left[i]), depth_of(right[i]))
+    def depth_of(root: int) -> int:
+        # iterative: a chain-shaped tree (SAH peeling one primitive per
+        # split) is as deep as the light count, past the default Python
+        # recursion limit for large light sets
+        best = 0
+        stack = [(root, 1)]
+        while stack:
+            i, d = stack.pop()
+            if is_leaf[i]:
+                best = max(best, d)
+            else:
+                stack.append((left[i], d + 1))
+                stack.append((right[i], d + 1))
+        return best
 
     max_depth = depth_of(0) if n_nodes else 0
 

@@ -121,7 +121,9 @@ class Scene:
         self.tlas_rebuilds = 0  # observability: analog of TLAS dirty rebuilds
 
     def set_instances(self, meshes) -> None:
-        """Upload dynamic entity meshes (list of world-space SoA meshes).
+        """Upload dynamic entity meshes (list of grid-LOCAL SoA meshes —
+        callers subtract the window origin, see SceneManager._upload; a
+        later recenter translates the uploaded set in set_grid).
 
         The analog of the reference's per-frame TLAS instance buffer
         (scene.rs:218-258). Arrays are padded to power-of-two triangle
@@ -420,7 +422,14 @@ class Scene:
             tex = np.concatenate([tex, self._inst_light_tex])
         self.light_bvh = lb.build_light_bvh(tris, lpa, uv=uv, tex=tex)
         self.bvh_device = device_bvh(self.light_bvh)
-        self.bvh_max_depth = self.light_bvh.max_depth
+        # pow2 depth bucket: bvh_max_depth keys the jit caches, and edits
+        # that add/remove lamps jitter the exact tree depth by +-1 — each
+        # distinct value would force a full recompile (minutes through the
+        # TPU tunnel). The masked descent (ops/nee.traverse) is no-op past
+        # a lane's leaf, so over-provisioning the loop bound is
+        # result-identical; bucketing bounds the specializations.
+        d = max(1, self.light_bvh.max_depth)
+        self.bvh_max_depth = 1 << (d - 1).bit_length()
         if self.bvh_device is not None and 0 < len(tris) <= self.FLAT_LIGHT_CAP:
             # flat light list for ops/nee.sample_light_flat (split NEE at
             # game scale: brute-force importance beats the descent on TPU,
@@ -475,15 +484,36 @@ class Scene:
             return None
         return int(self._grid_np[tuple(cell)])
 
+    @property
+    def grid_host(self) -> np.ndarray:
+        """Host mirror of the block grid — use this for per-frame host-side
+        queries (physics, picking): reading `scene.grid` pulls the whole
+        device array through the TPU tunnel (~100 ms for 2 MB)."""
+        return self._grid_np
+
     def set_grid(self, grid: np.ndarray, origin) -> None:
         """Replace the whole window (streaming-world recenter): new block
         array + world origin, with every derived structure rebuilt once."""
+        old_origin = self.origin
         self.grid = jnp.asarray(grid, jnp.uint8)
         self._grid_np = np.array(grid, dtype=np.uint8)
         self.origin = np.asarray(origin, np.float32)
         self.world_cfg = self.world_cfg.replace(
             origin=tuple(int(x) for x in origin)
         )
+        # entity instances are stored grid-LOCAL (scene_manager uploads
+        # world - origin): a recenter shifts the frame, so translate the
+        # uploaded triangles and the instance-light set by the origin
+        # delta — exact (pure translation), no re-upload needed
+        delta = (old_origin - self.origin).astype(np.float32)
+        if delta.any():
+            if self.instances_device is not None:
+                self.instances_device = {
+                    **self.instances_device,
+                    "tri": self.instances_device["tri"] + jnp.asarray(delta),
+                }
+            if len(self._inst_light_tri):
+                self._inst_light_tri = self._inst_light_tri + delta
         self.tlas_rebuilds += 1
         self._rebuild_dist()
         self._rebuild_lights()
