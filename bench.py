@@ -86,6 +86,7 @@ def main() -> int:
     n = 2 if SMOKE else 8
     fps = 0.0
     scene_label = "none"
+    won_cfg = None
     for label, c in ladder:
         try:
             t0 = time.perf_counter()
@@ -99,10 +100,38 @@ def main() -> int:
             dt = time.perf_counter() - t0
             fps = n / dt
             scene_label = label
+            won_cfg = c
             break
         except Exception as e:  # pragma: no cover - hardware-path guard
             print(f"[{label}] FAILED: {type(e).__name__}: {e}",
                   file=sys.stderr)
+
+    # one-dispatch formulation of the SAME frame: Scene.render_converged
+    # folds the CHUNKS host-loop passes into a device fori_loop —
+    # bit-identical output (tests/test_converged.py), identical pass ids,
+    # minus CHUNKS-1 per-dispatch overheads (the remote tunnel's floor is
+    # ~25 ms each). Both are production surfaces (app --converged), so the
+    # headline takes whichever runs faster on this device.
+    onejit_fps = 0.0
+    if won_cfg is not None:
+        try:
+            def run1(frame):
+                return scene.render_converged(
+                    eye, front, right, up, frame, CHUNKS, won_cfg)
+
+            np.asarray(run1(0))
+            t0 = time.perf_counter()
+            imgs = [run1(i + 1) for i in range(n)]
+            np.asarray(imgs[-1])
+            onejit_fps = n / (time.perf_counter() - t0)
+        except Exception as e:  # pragma: no cover - hardware-path guard
+            print(f"[entry onejit] FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    print(f"entry one-dispatch: {onejit_fps:.3f} fps "
+          f"(host loop {fps:.3f})", file=sys.stderr)
+    if onejit_fps > fps:
+        fps = onejit_fps
+        scene_label += " [one-dispatch]"
     rays = cfg.width * cfg.height * CHUNKS * cfg.max_bounces * fps
     print(
         f"{fps:.3f} fps  {rays:.3e} paths*bounce/s",
@@ -221,15 +250,20 @@ def main() -> int:
         f"wavefront {mode_fps['wavefront']:.3f} fps", file=sys.stderr,
     )
 
+    # both converged formulations are production surfaces (app
+    # --converged uses render_converged); report the better one
+    conv_best = max(conv_fps, conv1_fps)
     print(json.dumps({
         "metric": "frames_per_sec_800x600_8spp_4bounce_128grid",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "scene": scene_label,
+        "entry_onejit_fps": round(onejit_fps, 3),
         "pristine_fused_fps": round(pristine_fps, 3),
-        "converged_128spp_fps": round(conv_fps, 3),
-        "converged_128spp_vs_baseline": round(conv_fps / 3.0, 3),
+        "converged_128spp_fps": round(conv_best, 3),
+        "converged_128spp_vs_baseline": round(conv_best / 3.0, 3),
+        "converged_128spp_hostloop_fps": round(conv_fps, 3),
         "converged_128spp_onejit_fps": round(conv1_fps, 3),
         "wavefront_4spp_4b_fps": round(mode_fps["wavefront"], 3),
         "megakernel_4spp_4b_fps": round(mode_fps["megakernel"], 3),
