@@ -158,6 +158,11 @@ def main() -> int:
             diag_fps[key] = 0.0
         print(f"{key}: {diag_fps[key]}", file=sys.stderr)
 
+    # every measurement below runs the config that actually won the
+    # ladder — if the production config was the reason the ladder fell
+    # back, re-dispatching it here would just record 0.0 rows
+    base_cfg = won_cfg if won_cfg is not None else cfg
+
     # pristine-world diagnostic (no lamp, no edits): the fused path
     # kernel's raw rate, for kernel-progress tracking
     from vrv_tpu.config import WorldConfig
@@ -170,10 +175,10 @@ def main() -> int:
             WorldConfig(size=(g, g, g), origin=(-g // 2, -g // 2, -g // 2),
                         seed=0)
         )
-        np.asarray(run(0, pristine))
+        np.asarray(run(0, pristine, c=base_cfg))
         t0 = time.perf_counter()
         for i in range(n):
-            img = run(i + 1, pristine)
+            img = run(i + 1, pristine, c=base_cfg)
         np.asarray(img)
         pristine_fps = n / (time.perf_counter() - t0)
     except Exception as e:  # pragma: no cover - hardware-path guard
@@ -185,7 +190,7 @@ def main() -> int:
         acc = None
         for c in range(chunks):
             smp = scene.render_samples(
-                eye, front, right, up, frame * chunks + c, cfg
+                eye, front, right, up, frame * chunks + c, base_cfg
             ).sum(axis=0)
             acc = smp if acc is None else acc + smp
         return pack_bgra(acc / chunks)
@@ -210,12 +215,12 @@ def main() -> int:
     conv1_fps = 0.0
     try:
         np.asarray(scene.render_converged(eye, front, right, up, 0,
-                                          conv_chunks, cfg))
+                                          conv_chunks, base_cfg))
         t0 = time.perf_counter()
         np.asarray(scene.render_converged(eye, front, right, up, 1,
-                                          conv_chunks, cfg))
+                                          conv_chunks, base_cfg))
         np.asarray(scene.render_converged(eye, front, right, up, 2,
-                                          conv_chunks, cfg))
+                                          conv_chunks, base_cfg))
         conv1_fps = 2 / (time.perf_counter() - t0)
     except Exception as e:  # pragma: no cover - hardware-path guard
         print(f"[converged_onejit] FAILED: {type(e).__name__}: {e}",
@@ -226,7 +231,7 @@ def main() -> int:
     # both as four accumulated 1-spp passes (the headline-frame shape)
     mode_fps = {}
     for mode in ("megakernel", "wavefront"):
-        cfgm = cfg.replace(mode=mode, samples_per_pixel=1)
+        cfgm = base_cfg.replace(mode=mode, samples_per_pixel=1)
 
         def f(i, cfgm=cfgm):
             img = None

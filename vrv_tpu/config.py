@@ -240,17 +240,19 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def configs_from_args(args) -> Tuple[RenderConfig, WorldConfig]:
+    # an explicit --debug-view wins over --debug-albedo (so
+    # "--debug-view none" disables it); only a RESOLVED view other than
+    # "none" forces the megakernel mode the visualizations run on
+    debug_view = args.debug_view or (
+        "albedo" if args.debug_albedo else "none"
+    )
     rc = RenderConfig(
         width=args.width,
         height=args.height,
         samples_per_pixel=args.spp,
         max_bounces=args.bounces,
-        # debug views are megakernel-path visualizations
-        mode="megakernel" if (args.debug_albedo or args.debug_view)
-        else args.mode,
-        debug_view=args.debug_view or (
-            "albedo" if args.debug_albedo else "none"
-        ),
+        mode="megakernel" if debug_view != "none" else args.mode,
+        debug_view=debug_view,
         tracer=args.tracer,
         enable_nee=not args.no_nee,
         beam_prepass=not args.no_beam,

@@ -564,6 +564,14 @@ def _body(h):
             kx = skip_axis(ex_x, lo_x, hi_x, ox, dx)
             ky = skip_axis(ex_y, lo_y, hi_y, oy, dy)
             kz = skip_axis(ex_z, lo_z, hi_z, oz, dz)
+            # never land BEHIND the march: flo recomputes the position
+            # at t_skip from the ORIGIN in f32, and at a cell corner
+            # that can round one cell backward — a backward landing
+            # makes skip/step oscillate until the step budget retires
+            # the lane as a miss (see ops/pallas/trace_proc.coarse_skip)
+            kx = jnp.where(dx > 0, jnp.maximum(kx, scx), jnp.minimum(kx, scx))
+            ky = jnp.where(dy > 0, jnp.maximum(ky, scy), jnp.minimum(ky, scy))
+            kz = jnp.where(dz > 0, jnp.maximum(kz, scz), jnp.minimum(kz, scz))
             skip_inside = (
                 (kx >= 0) & (kx < X) & (ky >= 0) & (ky < Y) & (kz >= 0) & (kz < Z)
             )

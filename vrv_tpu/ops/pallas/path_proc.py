@@ -396,7 +396,8 @@ def _path_kernel(
         bigz = jnp.abs(dz) < tiny
 
         if coarse is not None:
-            kx, ky, kz, skip_inside, skip_out, can_skip = coarse_skip(
+            (kx, ky, kz, skip_inside, skip_out, can_skip,
+             t_land) = coarse_skip(
                 coarse, marching, scx, scy, scz, ox, oy, oz, dx, dy, dz,
                 ix, iy, iz, bigx, bigy, bigz, (X, Y, Z), tmax_v,
             )
@@ -442,8 +443,13 @@ def _path_kernel(
         if n_inst:
             # once the march passes the instance hit, no nearer voxel hit
             # can exist -> resolve now; retire's t-compare picks the
-            # instance (exactly what an exhaustive march would conclude)
-            t_prog = jnp.where(can_skip, t_skip, t_next) if coarse is not None else t_next
+            # instance (exactly what an exhaustive march would conclude).
+            # Skip lanes use t_land (entry into the landing cell == the
+            # last skipped crossing), so the early-exit fires iff the
+            # exhaustive march would have fired it during the skipped
+            # span — the region-EXIT t would retire lanes whose very
+            # next exact step records a boundary voxel hit.
+            t_prog = jnp.where(can_skip, t_land, t_next) if coarse is not None else t_next
             dead_now = dead_now | (
                 marching & ~any_hit & (inst_st[0] != 0) & (t_prog > inst_st[1])
             )

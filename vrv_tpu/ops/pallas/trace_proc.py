@@ -313,7 +313,14 @@ def coarse_skip(coarse, mask, scx, scy, scz, ox, oy, oz, dx, dy, dz,
            blocks are never empty.
     The ray jumps to the last air cell inside the farther certified
     region. `mask` is the per-lane is-marching predicate. Returns
-    (kx, ky, kz, skip_inside, skip_out, can_skip)."""
+    (kx, ky, kz, skip_inside, skip_out, can_skip, t_land), where t_land
+    is the ray parameter at which the ray ENTERS the landing cell — the
+    exact t of the last skipped DDA crossing (same plane, same
+    arithmetic), i.e. the largest t an exhaustive march would have
+    tested during the skipped span. Consumers that need "how far has
+    the march provably progressed" (the instance early-exit) must use
+    t_land, NOT the region-exit t: the exit plane can lie past a solid
+    boundary hit the exhaustive march would record."""
     f32 = jnp.float32
     i32 = jnp.int32
     X, Y, Z = dims
@@ -380,6 +387,15 @@ def coarse_skip(coarse, mask, scx, scy, scz, ox, oy, oz, dx, dy, dz,
     else:
         t_skip, kx, ky, kz = tb, bkx, bky, bkz
         cert = box_ok
+    # the landing must never fall BEHIND the march: the non-exit axes
+    # recompute the position at t_skip from the ORIGIN in f32, and at a
+    # cell corner that can round one cell backward (e.g. y@t_skip =
+    # 27.000002 -> floor 27 when the march already sits in cell 26) —
+    # an un-clamped backward landing makes skip/step oscillate forever
+    # and the lane retires as a step-budget MISS through solid terrain
+    kx = jnp.where(dx > 0, jnp.maximum(kx, scx), jnp.minimum(kx, scx))
+    ky = jnp.where(dy > 0, jnp.maximum(ky, scy), jnp.minimum(ky, scy))
+    kz = jnp.where(dz > 0, jnp.maximum(kz, scz), jnp.minimum(kz, scz))
     skip_inside = (
         (kx >= 0) & (kx < X) & (ky >= 0) & (ky < Y) & (kz >= 0) & (kz < Z)
     )
@@ -388,7 +404,15 @@ def coarse_skip(coarse, mask, scx, scy, scz, ox, oy, oz, dx, dy, dz,
         mask & cert
         & ((kx != scx) | (ky != scy) | (kz != scz))
     )
-    return kx, ky, kz, skip_inside, skip_out, can_skip
+    # entry t into the landing cell: max over axes of the cell's entry
+    # planes, each computed with the DDA crossing's exact expression
+    # ((plane - o) * inv with plane an exact small float) so the value
+    # is bit-identical to the crossing the exhaustive march computes
+    tlx = jnp.where(bigx, -_BIG, (kx.astype(f32) + (dx <= 0) - ox) * ix)
+    tly = jnp.where(bigy, -_BIG, (ky.astype(f32) + (dy <= 0) - oy) * iy)
+    tlz = jnp.where(bigz, -_BIG, (kz.astype(f32) + (dz <= 0) - oz) * iz)
+    t_land = jnp.maximum(jnp.maximum(tlx, tly), tlz)
+    return kx, ky, kz, skip_inside, skip_out, can_skip, t_land
 
 
 def exact_step(scx, scy, scz, ox, oy, oz, dx, dy, dz, ix, iy, iz,
@@ -548,7 +572,7 @@ def _trace_kernel(
         entering = entering_i != 0
 
         if coarse is not None:
-            kx, ky, kz, skip_inside, skip_out, can_skip = coarse_skip(
+            kx, ky, kz, skip_inside, skip_out, can_skip, _ = coarse_skip(
                 coarse, alive, scx, scy, scz, ox, oy, oz, dx, dy, dz,
                 ix, iy, iz, bigx, bigy, bigz, (X, Y, Z), tmax_v,
             )

@@ -169,9 +169,24 @@ class Scene:
                 kernel_ok = False
                 break
             metal_vals.append(float(m.flat[0]))
+            a_f32 = self.table.reflectivity[ti][..., 3].astype(np.float32)
+            # byte-exactness gate: the kernel reconstructs alpha as
+            # byte/255 in f32; a programmatic table whose alpha is out
+            # of [0, 1] (byte packing would overflow into neighboring
+            # texels' 8-bit lanes) or not representable as k/255 (e.g.
+            # 0.3) would silently diverge fused-vs-staged — evict it to
+            # the staged kernels instead
+            if not (np.all(a_f32 >= 0.0) and np.all(a_f32 <= 1.0)):
+                kernel_ok = False
+                break
             ab = np.round(
-                self.table.reflectivity[ti][..., 3].astype(np.float64) * 255.0
+                a_f32.astype(np.float64) * 255.0
             ).astype(np.uint32).ravel()  # (256,) ty-major like _fetch_atlas
+            if not np.array_equal(
+                ab.astype(np.float32) / np.float32(255.0), a_f32.ravel()
+            ):
+                kernel_ok = False
+                break
             words = tuple(
                 int(ab[4 * w] | (ab[4 * w + 1] << 8)
                     | (ab[4 * w + 2] << 16) | (ab[4 * w + 3] << 24))
