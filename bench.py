@@ -143,7 +143,9 @@ def main() -> int:
     # possible (defaults flip in a later round if a variant wins)
     diag_fps = {}
     for key, c in (
-        ("entry_inkernel_nee_fps", cfg.replace(pallas_inkernel_nee=True)),
+        # in-kernel NEE is the production default since 2026-08-19 (won
+        # its on-chip A/B); record the split formulation as the A side
+        ("entry_split_nee_fps", cfg.replace(pallas_inkernel_nee=False)),
         ("entry_step_cap128_fps", cfg.replace(pallas_step_cap=128)),
     ):
         try:

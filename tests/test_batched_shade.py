@@ -39,9 +39,15 @@ def _cam():
 
 
 def _render(sc, cam, cfg, batched):
+    # iknee pinned OFF: in-kernel NEE requires batched shading, so with
+    # the production default (on) the loop render would silently compare
+    # the iknee estimator against the split one (same estimate within
+    # 1 ulp, not bitwise — that contract lives in test_inkernel_nee.py).
+    # This gate isolates the batched-vs-loop SHADE identity.
     return np.asarray(sc.render_samples(
         *cam, 0,
-        cfg.replace(proc_backend="pallas", pallas_batched_shade=batched),
+        cfg.replace(proc_backend="pallas", pallas_batched_shade=batched,
+                    pallas_inkernel_nee=False),
     ))
 
 
@@ -111,7 +117,8 @@ def test_batched_shade_occupancy_telemetry_matches(block_table):
             sc.grid, sc.translucent, sc.materials, sc.bvh_device,
             sc.bvh_max_depth, sc.dist, sc.instances_device, sc.rows,
             sc.camera_to_local(cam[0]), *cam[1:], 0,
-            cfg.replace(pallas_batched_shade=batched),
+            cfg.replace(pallas_batched_shade=batched,
+                        pallas_inkernel_nee=False),
             with_occupancy=True,
             proc_static=sc.proc_static, proc=sc.proc_arrays,
             light_tex_set=sc.light_tex_set, inst_static=sc.inst_static,

@@ -31,7 +31,7 @@ def test_bench_smoke_json_contract():
         "converged_128spp_fps", "converged_128spp_vs_baseline",
         "converged_128spp_hostloop_fps", "converged_128spp_onejit_fps",
         "wavefront_4spp_4b_fps", "megakernel_4spp_4b_fps",
-        "entry_inkernel_nee_fps", "entry_step_cap128_fps",
+        "entry_split_nee_fps", "entry_step_cap128_fps",
     ):
         assert key in rec, f"missing JSON key {key}: {line}"
     assert rec["unit"] == "fps"

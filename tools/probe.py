@@ -443,6 +443,18 @@ def cmd_entry(args):
             entry_scene, cam_e,
             cfg.replace(pallas_inkernel_nee=True, pallas_unroll=16),
         ),
+        "entry_iknee_u20": (
+            entry_scene, cam_e,
+            cfg.replace(pallas_inkernel_nee=True, pallas_unroll=20),
+        ),
+        "entry_iknee_u24": (
+            entry_scene, cam_e,
+            cfg.replace(pallas_inkernel_nee=True, pallas_unroll=24),
+        ),
+        "entry_iknee_u32": (
+            entry_scene, cam_e,
+            cfg.replace(pallas_inkernel_nee=True, pallas_unroll=32),
+        ),
         "entry_step_cap128": (
             entry_scene, cam_e, cfg.replace(pallas_step_cap=128)
         ),

