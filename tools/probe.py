@@ -403,18 +403,29 @@ def cmd_entry(args):
     # same world minus the ego cube (isolates the in-kernel instance pass)
     noinst_scene, _ = ge._scene_args(args.grid, cfg)
     noinst_scene.set_instances([])
+    # same world with the content-dedup map stripped (flat one-hot tex
+    # sets, K 30 instead of 13) — the pre-dedup formulation, interleaved
+    nodedup_scene, _ = ge._scene_args(args.grid, cfg)
+    nodedup_scene.proc_static = nodedup_scene.proc_static._replace(
+        tex_dedup=())
+    if nodedup_scene.light_tex_set:
+        nodedup_scene.light_tex_set = tuple(
+            x for g in nodedup_scene.light_tex_set
+            for x in (g if isinstance(g, tuple) else (g,))
+        )
     pristine_scene, cam_p = _bench_scene(args.grid)
 
     chunks = args.spp
     fns = {}
 
-    def make(scene, cam, cfg):
+    def make(scene, cam, cfg, nchunks=None):
+        n = chunks if nchunks is None else nchunks
         def frame(f=0):
             acc = None
-            for c in range(chunks):
-                smp = scene.render_samples(*cam, f * chunks + c, cfg).sum(axis=0)
+            for c in range(n):
+                smp = scene.render_samples(*cam, f * n + c, cfg).sum(axis=0)
                 acc = smp if acc is None else acc + smp
-            return pack_bgra(acc / chunks)
+            return pack_bgra(acc / n / cfg.samples_per_pixel)
 
         return frame
 
@@ -458,12 +469,31 @@ def cmd_entry(args):
         "entry_step_cap128": (
             entry_scene, cam_e, cfg.replace(pallas_step_cap=128)
         ),
+        # texture-fetch formulation A/B (bit-identical variants; the
+        # 'split' default's dot gets rewritten by XLA into a gather
+        # fusion materializing (n,K,C) — 44+18 ms of the 335 ms frame)
+        "entry_texdot": (entry_scene, cam_e, cfg.replace(tex_fetch="dot")),
+        "entry_textake": (entry_scene, cam_e, cfg.replace(tex_fetch="take")),
+        "entry_nodedup": (nodedup_scene, cam_e, cfg),
+        # chunk-granularity A/B: the same 8-sample frame as fewer, larger
+        # dispatches — every glue fusion relaunches per chunk, so bigger
+        # chunks amortize XLA launch overheads (~100 fusions/chunk)
+        "entry_spp2x4": (
+            entry_scene, cam_e, cfg.replace(samples_per_pixel=2), 4
+        ),
+        "entry_spp4x2": (
+            entry_scene, cam_e, cfg.replace(samples_per_pixel=4), 2
+        ),
+        "entry_spp8x1": (
+            entry_scene, cam_e, cfg.replace(samples_per_pixel=8), 1
+        ),
     }
     only = args.tracers if args.tracers != "rows,proc" else ""
-    for name, (scene, cam, c) in variants.items():
+    for name, v in variants.items():
         if only and name not in only.split(","):
             continue
-        fns[name] = make(scene, cam, c)
+        scene, cam, c = v[:3]
+        fns[name] = make(scene, cam, c, v[3] if len(v) > 3 else None)
         t0 = time.perf_counter()
         np.asarray(fns[name]())
         print(f"  {name}: compile+first {time.perf_counter() - t0:6.1f}s",

@@ -77,6 +77,7 @@ def main():
     dev_pids = {p for p, n in names.items()
                 if "TPU" in n or "/device:" in n or "Device" in n}
     agg = {}
+    meta = {}
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
@@ -85,9 +86,19 @@ def main():
         dur = e.get("dur", 0) / 1e3  # us -> ms
         agg[name] = agg.get(name, 0.0) + dur
         total += dur
+        # XLA op metadata (args): source file:line + long op name — the
+        # attribution that turns "fusion.67" into a source-level target
+        a = e.get("args") or {}
+        if name not in meta and a:
+            src = a.get("source_info") or a.get("source") or ""
+            long = a.get("long_name") or a.get("hlo_op") or ""
+            if src or long:
+                meta[name] = f"{src} {long}"[:160]
     print(f"\ndevice total: {total:.1f} ms across {len(agg)} op names")
     for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
         print(f"  {ms:8.2f} ms  {name[:110]}")
+        if name in meta:
+            print(f"              {meta[name]}")
 
 
 if __name__ == "__main__":

@@ -125,6 +125,12 @@ class RenderConfig:
     # exactly through cell corners to the other (equally valid) DDA
     # resolution, so bit-identity gates run with this off
     beam_prepass: bool = True
+    # small-texture-set fetch formulation in ops/shade (bit-identical
+    # variants; see _fetch_atlas_onehot): 'split' = one-hot dot + K-way
+    # select chain (XLA rewrites the dot into a gather fusion that
+    # materializes (n,K,C)); 'dot' = barrier-forced MXU dot + exact
+    # one-hot einsum select; 'take' = one combined-index row gather.
+    tex_fetch: str = "split"
     # 'megakernel' = fused lax.scan over bounces (parity-first, reference-shaped);
     # 'wavefront'  = the fused-kernel wavefront: per-ray bounce progression
     # inside the Pallas core (zero scatter) + per-bounce occupancy telemetry

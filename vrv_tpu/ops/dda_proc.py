@@ -86,6 +86,12 @@ class ProcStatic(NamedTuple):
     # extends the fused path's one-hot texel set beyond grass/stone
     # (render/megakernel.py tex_set).
     lambert_blocks: tuple = ()
+    # Content dedup over the packed 8-channel atlas: tex_dedup[tid] is the
+    # lowest texture id with byte-identical texels (identity when empty).
+    # Lets megakernel group its one-hot tex_set by CONTENT — the shipped
+    # assets have only 13 unique textures behind 42 face ids, so the
+    # (n, K, C) fetch intermediate shrinks ~2.3x at identical results.
+    tex_dedup: tuple = ()
     # Smallest cell y such that every PRISTINE-worldgen cell with
     # cy >= y_air is air (from the cached pristine grid; -1 = unknown).
     # Solid edits extend the bound at runtime inside the Pallas kernels

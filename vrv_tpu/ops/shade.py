@@ -64,20 +64,56 @@ def _fetch_atlas(atlas: jax.Array, t: jax.Array, u: jax.Array, v: jax.Array):
     return jnp.take(flat, idx, axis=0)
 
 
+def _tex_groups(tex_set: tuple):
+    """Normalize a tex_set whose entries are texture ids OR tuples of ids
+    with byte-identical atlas content (content-dedup groups — Scene groups
+    by the packed 8-channel texels, so fetching any member reads the same
+    values). Returns (groups, reps): tuple of id-tuples + each group's
+    representative id. Flat int tuples keep their old meaning
+    (singleton groups)."""
+    groups = tuple(
+        (e,) if isinstance(e, int) else tuple(e) for e in tex_set
+    )
+    return groups, tuple(g[0] for g in groups)
+
+
+def _group_mask(t: jax.Array, group: tuple):
+    m = t == group[0]
+    for tid in group[1:]:
+        m = m | (t == tid)
+    return m
+
+
 def _fetch_atlas_onehot(atlas: jax.Array, t: jax.Array, u: jax.Array,
-                        v: jax.Array, tex_set: tuple):
+                        v: jax.Array, tex_set: tuple, mode: str = "split"):
     """_fetch_atlas as an exact one-hot MXU matmul over a small texture set.
 
     Valid when every texture a ray can hit is in `tex_set` (a static
-    tuple of texture ids) — rows whose t is outside the set return 0,
-    which downstream hit-masking already discards. A HIGHEST-precision
-    one-hot matmul reproduces the f32 texel values exactly (one 1.0 per
-    row; the rest contribute exact zeros), so results are bit-identical
-    to the gather. Replaces an ~8 ns/row scalar-loop gather with one
-    (n,256)@(256, len(tex_set)*C) matmul + a len(tex_set)-way select.
+    tuple of texture ids, or of content-dedup groups — see _tex_groups) —
+    rows whose t is outside the set return 0, which downstream
+    hit-masking already discards. A HIGHEST-precision one-hot matmul
+    reproduces the f32 texel values exactly (one 1.0 per row; the rest
+    contribute exact zeros), so results are bit-identical to the gather.
+
+    mode='split' (the round-2 formulation): one (n,256)@(256,K*C) dot +
+    a K-way where() chain. An on-chip xprof of the entry frame showed
+    XLA's algebraic simplifier rewrites this dot(one-hot, table) back
+    into an index-loop fusion that MATERIALIZES the (n,K,C) intermediate
+    (f32[1.6M,30,8] = 1.5 GB written + re-read by the 30-select chain:
+    27.2 + 16.4 ms of a 335 ms frame).
+
+    mode='dot': an optimization_barrier on the one-hot hides the pattern
+    so the dot stays a real MXU matmul ((n,256)@(256,K*C) is ~2 MXU tile
+    columns — cheap), and the K-way texture select becomes an exact
+    einsum against a (n,K) one-hot over t: per row the contraction adds
+    K-1 exact zeros to the single selected texel, so the result is
+    bit-identical to the where() chain (gate:
+    tests/test_tex_fetch.py::test_dot_mode_bit_identical).
     """
+    groups, reps = _tex_groups(tex_set)
     size = atlas.shape[1]
     C = atlas.shape[-1]
+    K = len(groups)
     tx = jnp.clip((u * size).astype(jnp.int32), 0, size - 1)
     ty = jnp.clip((v * size).astype(jnp.int32), 0, size - 1)
     texel = ty * size + tx                                   # (n,) in [0,256)
@@ -86,20 +122,51 @@ def _fetch_atlas_onehot(atlas: jax.Array, t: jax.Array, u: jax.Array,
     ).astype(jnp.float32)
     # (256, K*C): texel-major table of the selected textures
     table = (
-        atlas[jnp.asarray(tex_set)]                          # (K, 16, 16, C)
-        .reshape(len(tex_set), size * size, C)
+        atlas[jnp.asarray(reps)]                             # (K, 16, 16, C)
+        .reshape(K, size * size, C)
         .transpose(1, 0, 2)
-        .reshape(size * size, len(tex_set) * C)
+        .reshape(size * size, K * C)
     )
+    if mode == "dot":
+        onehot = jax.lax.optimization_barrier(onehot)
     rows = jnp.dot(
         onehot, table,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    ).reshape(-1, len(tex_set), C)                           # (n, K, C)
+    ).reshape(-1, K, C)                                      # (n, K, C)
+    if mode == "dot":
+        t_oh = jnp.stack(
+            [_group_mask(t, g) for g in groups], axis=1
+        ).astype(jnp.float32)                                # (n, K)
+        return jnp.einsum("nkc,nk->nc", rows, t_oh)
     out = jnp.zeros((t.shape[0], C), jnp.float32)
-    for k, tid in enumerate(tex_set):
-        out = jnp.where((t == tid)[:, None], rows[:, k], out)
+    for k, g in enumerate(groups):
+        out = jnp.where(_group_mask(t, g)[:, None], rows[:, k], out)
     return out
+
+
+def _fetch_atlas_take(atlas: jax.Array, t: jax.Array, u: jax.Array,
+                      v: jax.Array, tex_set: tuple):
+    """tex_set fetch as ONE combined-index row gather: k = position of t's
+    group in tex_set (one compare per member id), row = k*size^2 + texel
+    into the (K*256, C) subset table; rows outside the set read row 0 and
+    are masked to 0 (the one-hot modes' exact semantics)."""
+    groups, reps = _tex_groups(tex_set)
+    size = atlas.shape[1]
+    C = atlas.shape[-1]
+    K = len(groups)
+    tx = jnp.clip((u * size).astype(jnp.int32), 0, size - 1)
+    ty = jnp.clip((v * size).astype(jnp.int32), 0, size - 1)
+    texel = ty * size + tx
+    k = jnp.zeros_like(t)
+    found = jnp.zeros(t.shape, bool)
+    for i, g in enumerate(groups):
+        m = _group_mask(t, g)
+        k = jnp.where(m, i, k)
+        found = found | m
+    table = atlas[jnp.asarray(reps)].reshape(K * size * size, C)
+    rows = jnp.take(table, k * (size * size) + texel, axis=0)
+    return jnp.where(found[:, None], rows, 0.0)
 
 
 # Per-face constants packed into one (6, 29) matrix so the whole face-state
@@ -270,6 +337,7 @@ def shade_resolved(
     w_prev: Optional[jax.Array] = None,
     light_tex_set: Optional[tuple] = None,
     flat_sel_idx: Optional[jax.Array] = None,
+    tex_fetch: str = "split",
 ) -> BounceResult:
     """Texture fetch + BSDF branch + NEE over pre-resolved hits.
 
@@ -293,7 +361,11 @@ def shade_resolved(
     if tex_set is not None and "packed" in materials:
         # small reachable texture set (e.g. the fused path kernel's
         # lambert-only worldgen scenes): exact one-hot MXU fetch
-        tex = _fetch_atlas_onehot(materials["packed"], t_mat, u, v, tex_set)
+        if tex_fetch == "take":
+            tex = _fetch_atlas_take(materials["packed"], t_mat, u, v, tex_set)
+        else:
+            tex = _fetch_atlas_onehot(
+                materials["packed"], t_mat, u, v, tex_set, mode=tex_fetch)
         tex0, tex1, tex2 = tex[:, :4], tex[:, 4:7], tex[:, 7:8]
     elif "packed" in materials:
         # one 8-wide row gather instead of three (rows cost the same as
@@ -370,10 +442,16 @@ def shade_resolved(
         # literal reference arithmetic: (cos/pi) / (cos/pi)
         spdf_over_rpdf = (cos_theta / _PI) / (cos_theta / _PI)
         if light_tex_set is not None and "packed" in materials:
-            te = _fetch_atlas_onehot(
-                materials["packed"], ls.tex, ls.uv[:, 0], ls.uv[:, 1],
-                light_tex_set,
-            )[:, 4:7]
+            if tex_fetch == "take":
+                te = _fetch_atlas_take(
+                    materials["packed"], ls.tex, ls.uv[:, 0], ls.uv[:, 1],
+                    light_tex_set,
+                )[:, 4:7]
+            else:
+                te = _fetch_atlas_onehot(
+                    materials["packed"], ls.tex, ls.uv[:, 0], ls.uv[:, 1],
+                    light_tex_set, mode=tex_fetch,
+                )[:, 4:7]
         else:
             te = _fetch_atlas(
                 materials["emissivity"], ls.tex, ls.uv[:, 0], ls.uv[:, 1]
@@ -495,6 +573,7 @@ def do_bounce(
     nee_mode: str = "mixture",
     w_prev: Optional[jax.Array] = None,
     light_tex_set: Optional[tuple] = None,
+    tex_fetch: str = "split",
 ) -> BounceResult:
     """One path-tracing bounce for a flat ray batch.
 
@@ -538,4 +617,5 @@ def do_bounce(
         nee_mode=nee_mode,
         w_prev=w_prev,
         light_tex_set=light_tex_set,
+        tex_fetch=tex_fetch,
     )

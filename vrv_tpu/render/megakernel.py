@@ -292,7 +292,15 @@ def render_samples(
         tex_ids = {b * 6 + f for b in sorted(blocks) for f in range(6)}
         if inst_in_kernel:
             tex_ids |= set(inst_static[0])
-        tex_set = tuple(sorted(tex_ids))
+        # group by atlas content (ProcStatic.tex_dedup): face ids sharing
+        # one texture collapse to one fetch column — bit-identical, and
+        # the (n, K, C) intermediate shrinks with K
+        dd = proc_static.tex_dedup
+        tex_groups: dict = {}
+        for tid in sorted(tex_ids):
+            canon = dd[tid] if tid < len(dd) else tid
+            tex_groups.setdefault(canon, []).append(tid)
+        tex_set = tuple(tuple(g) for _, g in sorted(tex_groups.items()))
 
     # split-NEE per-bounce records (batched shadow trace after the loop;
     # split_kvis = in-kernel NEE's recorded visibility, replacing it)
@@ -362,6 +370,7 @@ def render_samples(
                         if (fused_nee is not None and bvh_g is not None)
                         else None
                     ),
+                    tex_fetch=cfg.tex_fetch,
                 )
             for j, b in enumerate(idx):
                 brs[b] = jax.tree.map(
@@ -468,6 +477,7 @@ def render_samples(
                 nee_mode="split" if split_nee else "mixture",
                 w_prev=w_prev,
                 light_tex_set=light_tex_set if split_nee else None,
+                tex_fetch=cfg.tex_fetch,
             )
         if split_nee and not last:
             split_T.append(jnp.where(alive[:, None], throughput, 0.0))

@@ -104,6 +104,20 @@ class Scene:
         self._emissive_blocks = np.nonzero(
             (self.table.texture_luminances.reshape(self.table.n_blocks, 6) > 0).any(1)
         )[0]
+        # content dedup over the packed atlas (many face ids share one
+        # texture — e.g. stone/soil use a single image for all 6 faces):
+        # tex_dedup[tid] = lowest id with byte-identical 8-channel texels.
+        # Groups derived from this shrink the one-hot fetch's K at
+        # bit-identical results (ops/shade._tex_groups).
+        packed_np = np.concatenate(
+            [self.table.reflectivity, self.table.emissivity,
+             self.table.metallicity], axis=-1,
+        )
+        by_content: dict = {}
+        self.tex_dedup = tuple(
+            by_content.setdefault(packed_np[i].tobytes(), i)
+            for i in range(packed_np.shape[0])
+        )
         self._pristine: Optional[np.ndarray] = None  # worldgen(world_cfg) cache
         self._pristine_key = None
         # emissive entity-instance triangles feeding the light BVH
@@ -296,6 +310,7 @@ class Scene:
             stone=int(self.table.block_idx("stone")),
             air=int(self.table.air), n_edits=0,
             lambert_only=lambert_only,
+            tex_dedup=self.tex_dedup,
         )
         if self._pristine_key != key:
             xs, ys, zs = np.meshgrid(
@@ -470,11 +485,22 @@ class Scene:
                 )),
                 "tex": jnp.asarray(np.pad(tex.astype(np.int32), (0, pad))),
             }
-        # static texture-id set reachable by light samples: routes the
-        # split-NEE emission fetch through the exact one-hot MXU matmul
-        self.light_tex_set = (
-            tuple(sorted({int(x) for x in tex})) if len(tex) else None
-        )
+        # static texture-id set reachable by light samples, grouped by
+        # atlas content (tex_dedup): routes the split-NEE emission fetch
+        # through the exact one-hot MXU matmul with the smallest K
+        if len(tex):
+            groups: dict = {}
+            for tid in sorted({int(x) for x in tex}):
+                canon = (
+                    self.tex_dedup[tid]
+                    if tid < len(self.tex_dedup) else tid
+                )
+                groups.setdefault(canon, []).append(tid)
+            self.light_tex_set = tuple(
+                tuple(g) for _, g in sorted(groups.items())
+            )
+        else:
+            self.light_tex_set = None
 
     def _edit_touches_lights(self, cell: np.ndarray, old: int, new: int) -> bool:
         if old in self._emissive_blocks or new in self._emissive_blocks:
