@@ -43,11 +43,15 @@ def test_fetch_modes_bit_identical_unit():
     u = jnp.asarray(rng.random(n), jnp.float32)
     v = jnp.asarray(rng.random(n), jnp.float32)
 
+    from vrv_tpu.ops.shade import _fetch_atlas_mxu
+
     split = np.asarray(_fetch_atlas_onehot(atlas, t, u, v, tex_set, "split"))
     dot = np.asarray(_fetch_atlas_onehot(atlas, t, u, v, tex_set, "dot"))
     take = np.asarray(_fetch_atlas_take(atlas, t, u, v, tex_set))
+    mxu = np.asarray(_fetch_atlas_mxu(atlas, t, u, v, tex_set))
     assert (split == dot).all()
     assert (split == take).all()
+    assert (split == mxu).all()
     outside = ~np.isin(np.asarray(t), tex_set)
     assert outside.any() and (split[outside] == 0.0).all()
 
@@ -77,6 +81,10 @@ def test_dedup_groups_bit_identical():
         got = np.asarray(_fetch_atlas_onehot(atlas, t, u, v, grouped, mode))
         assert (want == got).all(), mode
     got = np.asarray(_fetch_atlas_take(atlas, t, u, v, grouped))
+    assert (want == got).all()
+    from vrv_tpu.ops.shade import _fetch_atlas_mxu
+
+    got = np.asarray(_fetch_atlas_mxu(atlas, t, u, v, grouped))
     assert (want == got).all()
 
 
@@ -110,7 +118,7 @@ def test_fetch_modes_bit_identical_full_scene(block_table):
     imgs = [
         np.asarray(sc.render_samples(
             *cam, 0, cfg.replace(proc_backend="pallas", tex_fetch=mode)))
-        for mode in ("split", "dot", "take")
+        for mode in ("split", "dot", "take", "mxu")
     ]
-    assert (imgs[0] == imgs[1]).all()
-    assert (imgs[0] == imgs[2]).all()
+    for i in range(1, len(imgs)):
+        assert (imgs[0] == imgs[i]).all(), i

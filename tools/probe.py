@@ -474,6 +474,7 @@ def cmd_entry(args):
         # fusion materializing (n,K,C) — 44+18 ms of the 335 ms frame)
         "entry_texdot": (entry_scene, cam_e, cfg.replace(tex_fetch="dot")),
         "entry_textake": (entry_scene, cam_e, cfg.replace(tex_fetch="take")),
+        "entry_texmxu": (entry_scene, cam_e, cfg.replace(tex_fetch="mxu")),
         "entry_nodedup": (nodedup_scene, cam_e, cfg),
         # chunk-granularity A/B: the same 8-sample frame as fewer, larger
         # dispatches — every glue fusion relaunches per chunk, so bigger

@@ -129,7 +129,9 @@ class RenderConfig:
     # variants; see _fetch_atlas_onehot): 'split' = one-hot dot + K-way
     # select chain (XLA rewrites the dot into a gather fusion that
     # materializes (n,K,C)); 'dot' = barrier-forced MXU dot + exact
-    # one-hot einsum select; 'take' = one combined-index row gather.
+    # one-hot einsum select; 'take' = one combined-index row gather;
+    # 'mxu' = factorized (group,ty)/(tx) one-hots — a real MXU matmul
+    # with a 16x smaller barrier'd one-hot than 'dot' (_fetch_atlas_mxu).
     tex_fetch: str = "split"
     # 'megakernel' = fused lax.scan over bounces (parity-first, reference-shaped);
     # 'wavefront'  = the fused-kernel wavefront: per-ray bounce progression

@@ -145,6 +145,75 @@ def _fetch_atlas_onehot(atlas: jax.Array, t: jax.Array, u: jax.Array,
     return out
 
 
+def _fetch_atlas_mxu(atlas: jax.Array, t: jax.Array, u: jax.Array,
+                     v: jax.Array, tex_set: tuple):
+    """Factorized exact one-hot MXU fetch: texel = ty*16 + tx splits the
+    (n, 256) one-hot the 'dot' mode choked on into a (n, K*16) one-hot
+    over the combined (group, ty) index and a (n, 16) one-hot over tx.
+
+    Stage 1 is a REAL MXU matmul (optimization_barrier hides the one-hot
+    from the algebraic simplifier, and at 16K columns the materialized
+    one-hot is 16x smaller than the 'dot' mode's): (n, K*16) @ (K*16,
+    16*C) selects the hit texture's row ty — one exact 1.0 per row, all
+    other products exact zeros. Stage 2 contracts the (n, 16, C) row
+    against the tx one-hot on the VPU: one exact texel plus 15 exact
+    zeros, so the result is bit-identical to the gather/'split' modes
+    (gates: tests/test_tex_fetch.py). Rows whose t is outside the set
+    return 0 (the other modes' semantics).
+
+    Why: the 'split' fetch is rewritten into an index-loop gather fusion
+    that costs ~8.5 ns/row regardless of K or row width (xprof
+    2026-08-19: 13.9 + 13.8 + 5.8 ms of a ~289 ms device frame); this
+    formulation replaces the per-row gather with streaming one-hot
+    writes + an MXU pass, all at HBM-bandwidth rates.
+    """
+    groups, reps = _tex_groups(tex_set)
+    size = atlas.shape[1]
+    C = atlas.shape[-1]
+    K = len(groups)
+    tx = jnp.clip((u * size).astype(jnp.int32), 0, size - 1)
+    ty = jnp.clip((v * size).astype(jnp.int32), 0, size - 1)
+    k = jnp.zeros_like(t)
+    found = jnp.zeros(t.shape, bool)
+    for i, g in enumerate(groups):
+        m = _group_mask(t, g)
+        k = jnp.where(m, i, k)
+        found = found | m
+    j = k * size + ty                                        # (n,) in [0, K*16)
+    oh_j = (
+        j[:, None] == jnp.arange(K * size, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+    oh_j = jax.lax.optimization_barrier(oh_j)
+    # (K*16, 16*C): (group, ty)-major rows, (tx, c) columns — matches the
+    # atlas's [t, ty, tx, C] layout (see _fetch_atlas's flat index)
+    table = atlas[jnp.asarray(reps)].reshape(K * size, size * C)
+    rows = jnp.dot(
+        oh_j, table,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(-1, size, C)                                   # (n, 16, C)
+    oh_tx = (
+        tx[:, None] == jnp.arange(size, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+    out = jnp.einsum(
+        "nsc,ns->nc", rows, oh_tx,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.where(found[:, None], out, 0.0)
+
+
+def _fetch_set(atlas: jax.Array, t: jax.Array, u: jax.Array,
+               v: jax.Array, tex_set: tuple, mode: str):
+    """Dispatch the small-texture-set fetch to the cfg.tex_fetch
+    formulation — all bit-identical (tests/test_tex_fetch.py)."""
+    if mode == "take":
+        return _fetch_atlas_take(atlas, t, u, v, tex_set)
+    if mode == "mxu":
+        return _fetch_atlas_mxu(atlas, t, u, v, tex_set)
+    return _fetch_atlas_onehot(atlas, t, u, v, tex_set, mode=mode)
+
+
 def _fetch_atlas_take(atlas: jax.Array, t: jax.Array, u: jax.Array,
                       v: jax.Array, tex_set: tuple):
     """tex_set fetch as ONE combined-index row gather: k = position of t's
@@ -361,11 +430,7 @@ def shade_resolved(
     if tex_set is not None and "packed" in materials:
         # small reachable texture set (e.g. the fused path kernel's
         # lambert-only worldgen scenes): exact one-hot MXU fetch
-        if tex_fetch == "take":
-            tex = _fetch_atlas_take(materials["packed"], t_mat, u, v, tex_set)
-        else:
-            tex = _fetch_atlas_onehot(
-                materials["packed"], t_mat, u, v, tex_set, mode=tex_fetch)
+        tex = _fetch_set(materials["packed"], t_mat, u, v, tex_set, tex_fetch)
         tex0, tex1, tex2 = tex[:, :4], tex[:, 4:7], tex[:, 7:8]
     elif "packed" in materials:
         # one 8-wide row gather instead of three (rows cost the same as
@@ -442,16 +507,10 @@ def shade_resolved(
         # literal reference arithmetic: (cos/pi) / (cos/pi)
         spdf_over_rpdf = (cos_theta / _PI) / (cos_theta / _PI)
         if light_tex_set is not None and "packed" in materials:
-            if tex_fetch == "take":
-                te = _fetch_atlas_take(
-                    materials["packed"], ls.tex, ls.uv[:, 0], ls.uv[:, 1],
-                    light_tex_set,
-                )[:, 4:7]
-            else:
-                te = _fetch_atlas_onehot(
-                    materials["packed"], ls.tex, ls.uv[:, 0], ls.uv[:, 1],
-                    light_tex_set, mode=tex_fetch,
-                )[:, 4:7]
+            te = _fetch_set(
+                materials["packed"], ls.tex, ls.uv[:, 0], ls.uv[:, 1],
+                light_tex_set, tex_fetch,
+            )[:, 4:7]
         else:
             te = _fetch_atlas(
                 materials["emissivity"], ls.tex, ls.uv[:, 0], ls.uv[:, 1]
