@@ -131,6 +131,95 @@ def test_inkernel_nee_vis_and_selection_match_xla(block_table):
     assert any_checked >= 50  # non-vacuous
 
 
+def test_nee_record_pdf_matches_recompute(block_table):
+    """pallas_nee_record_pdf: the kernel's recorded (imp_c, W) must match
+    the XLA sampler's recomputed values to fp-fusion precision (the two
+    graphs fuse/FMA the same formulas differently -> ~1 ulp drift; the
+    estimator stays exactly unbiased because the SAME recorded w feeds
+    both the direct term and the (1 - w) complement), and the discrete
+    fields (validity, selection) must agree exactly."""
+    sc, cam = _ego_scene(block_table, with_lamp=True)
+    flat = sc.bvh_device["flat"]
+    ps, pd = sc.proc_static, sc.proc_arrays
+    o, d, seeds = _rays(sc, cam)
+    B = 3
+
+    traces, dirs, ihits, knee = trace_path_pallas(
+        ps, o, d, seeds, B, pd=pd, interpret=True, unroll=1,
+        inst=sc.instances_device, inst_static=sc.inst_static,
+        lights=flat, nee_pdf=True,
+    )
+    assert knee is not None and len(knee[0]) == 4
+
+    ob, db = o, d
+    checked = 0
+    for b in range(B - 1):
+        rh = shade.resolve_hit(
+            ob, db, traces[b], inst=sc.instances_device, inst_hit=ihits[b]
+        )
+        seed_b = rng_mod.murmur3_combine(seeds, jnp.uint32(b))
+        kidx, kvis, kimp, kW = knee[b]
+        ls_rec = nee.sample_light_flat(
+            rh.new_origin, rh.normal, seed_b, flat,
+            sel_idx=kidx, sel_imp=kimp, sel_W=kW,
+        )
+        ls_idx = nee.sample_light_flat(
+            rh.new_origin, rh.normal, seed_b, flat, sel_idx=kidx
+        )
+        sampled = np.asarray(kidx) >= 0
+        # geometry from the chosen features is identical (one-hot matmul
+        # on the same index); pdf-derived fields carry the ~1-ulp record
+        for f in ("dist", "cos_light"):
+            a = np.asarray(getattr(ls_rec, f))
+            x = np.asarray(getattr(ls_idx, f))
+            assert (a[sampled] == x[sampled]).all(), f
+        for f in ("w", "inv_pdf_area"):
+            a = np.asarray(getattr(ls_rec, f))[sampled]
+            x = np.asarray(getattr(ls_idx, f))[sampled]
+            rel = np.abs(a - x) / np.maximum(np.abs(x), 1e-30)
+            assert rel.max() < 1e-4, (f, rel.max())
+        assert (
+            np.asarray(ls_rec.valid)[sampled]
+            == np.asarray(ls_idx.valid)[sampled]
+        ).all()
+        # unsampled rows must be invalid (w = 0) in both
+        assert (np.asarray(ls_rec.w)[~sampled] == 0.0).all()
+        assert (~np.asarray(ls_rec.valid)[~sampled]).all()
+        checked += int(sampled.sum())
+        ob = rh.new_origin
+        db = dirs[b]
+    assert checked >= 50
+
+
+def test_nee_record_pdf_render_matches(block_table):
+    """Full graded render: pdf-record on vs off. The recorded (imp_c, W)
+    are the same formulas the XLA sampler computes, but the two graphs
+    FMA/fuse them differently, so radiance agrees to fp-fusion precision
+    (~1e-6 relative) and packed u8 frames agree within the same
+    +-1-step/99% gate the sharded renders use."""
+    from vrv_tpu.render.megakernel import pack_bgra
+
+    sc, cam = _ego_scene(block_table, with_lamp=True)
+    cfg = RenderConfig(width=24, height=16, samples_per_pixel=2,
+                       max_bounces=3, tracer="proc", pallas_unroll=1,
+                       proc_backend="pallas")
+    imgs = {}
+    for rp in (True, False):
+        imgs[rp] = np.asarray(sc.render_samples(
+            *cam, 0, cfg.replace(pallas_nee_record_pdf=rp)
+        ))
+    rel = np.abs(imgs[True] - imgs[False]) / np.maximum(
+        np.abs(imgs[False]), 1e-4
+    )
+    assert rel.max() < 1e-4, f"max rel diff {rel.max()}"
+    pk = {k: np.asarray(pack_bgra(jnp.asarray(v.mean(0)))).astype(np.int32)
+          for k, v in imgs.items()}
+    diff = np.abs(pk[True] - pk[False])
+    assert diff.max() <= 1
+    assert (diff == 0).mean() >= 0.99
+    assert imgs[True].std() > 1.0
+
+
 def test_inkernel_nee_render_matches_xla_shadow_path(block_table):
     """Full render, graded feature set: in-kernel NEE vs the XLA
     shadow-trace split path. Verdicts and selections are exact; the two
@@ -140,9 +229,12 @@ def test_inkernel_nee_render_matches_xla_shadow_path(block_table):
     from vrv_tpu.render.megakernel import pack_bgra
 
     sc, cam = _ego_scene(block_table, with_lamp=True)
+    # pdf-record off: this gate pins the LAUNCH-FOLD formulation's strict
+    # bit-identity (discrete records only); the pdf-record layer on top
+    # is gated separately (test_nee_record_pdf_render_matches — ~1 ulp)
     cfg = RenderConfig(width=24, height=16, samples_per_pixel=2,
                        max_bounces=3, tracer="proc", pallas_unroll=1,
-                       proc_backend="pallas")
+                       proc_backend="pallas", pallas_nee_record_pdf=False)
     imgs = {}
     for ik in (True, False):
         imgs[ik] = np.asarray(sc.render_samples(

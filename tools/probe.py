@@ -475,6 +475,11 @@ def cmd_entry(args):
         "entry_texdot": (entry_scene, cam_e, cfg.replace(tex_fetch="dot")),
         "entry_textake": (entry_scene, cam_e, cfg.replace(tex_fetch="take")),
         "entry_texmxu": (entry_scene, cam_e, cfg.replace(tex_fetch="mxu")),
+        # in-kernel NEE pdf record A/B: off = the (n, L) XLA importance
+        # recompute (the pre-2026-08-19 formulation)
+        "entry_nopdfrec": (
+            entry_scene, cam_e, cfg.replace(pallas_nee_record_pdf=False)
+        ),
         "entry_nodedup": (nodedup_scene, cam_e, cfg),
         # chunk-granularity A/B: the same 8-sample frame as fewer, larger
         # dispatches — every glue fusion relaunches per chunk, so bigger

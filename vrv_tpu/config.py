@@ -114,6 +114,17 @@ class RenderConfig:
     # (v5e, interleaved medians, 2026-08-19): 477.5 vs 519.9 ms/frame on
     # the graded entry scene — the launch fold wins at every unroll; ON.
     pallas_inkernel_nee: bool = True
+    # in-kernel NEE pdf record: the kernel additionally records the
+    # chosen light's importance + the selection total W per NEE bounce
+    # (values it computes anyway for the selection), so the XLA direct
+    # term skips its whole (n, L) importance field — the largest NEE glue
+    # fusions in the 2026-08-19 xprof (the (n,L,3) visibility dots +
+    # (n,L) cumsum). Same formulas, but the kernel graph FMA/fuses them
+    # differently than the XLA recompute -> ~1 ulp radiance drift (the
+    # estimator stays exactly unbiased: the SAME recorded w feeds both
+    # the direct term and the (1-w) complement). Gates:
+    # tests/test_inkernel_nee.py::test_nee_record_pdf_*.
+    pallas_nee_record_pdf: bool = True
     # fused path kernel tail restart: pass 1 stops after ~this many march
     # steps; a second launch re-traces only the unfinished lanes (their
     # blocks) with the full budget. Bit-identical (deterministic per-lane

@@ -303,7 +303,7 @@ class LightSample(NamedTuple):
 
 def sample_light_flat(point, normal, seed, flat,
                       importance_scale: float = 10.0, mis_clamp: float = 0.5,
-                      sel_idx=None) -> LightSample:
+                      sel_idx=None, sel_imp=None, sel_W=None) -> LightSample:
     """Flat-list light sampling for small light sets (<= ~64 triangles).
 
     TPU-first redesign of the stochastic BVH descent for the scale the
@@ -336,32 +336,46 @@ def sample_light_flat(point, normal, seed, flat,
     f32 = jnp.float32
 
     v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
-    ctr = (v0 + v1 + v2) / 3.0
-    # epsilon-visibility: any vertex above the hemisphere plane
-    pn = normal[:, None, :]
-    vis = (
-        (_dot(v0[None] - point[:, None], pn) >= EPSILON_BLOCK)
-        | (_dot(v1[None] - point[:, None], pn) >= EPSILON_BLOCK)
-        | (_dot(v2[None] - point[:, None], pn) >= EPSILON_BLOCK)
-    )                                                   # (n, L)
-    dc = ctr[None] - point[:, None]                     # (n, L, 3)
-    d2c = _dot(dc, dc)
-    imp = jnp.where(vis, power[None] / jnp.maximum(d2c, 1e-30), 0.0)
-
-    cum = jnp.cumsum(imp, axis=1)
-    W = cum[:, -1]                                      # == selection total
-    if sel_idx is not None:
-        # pre-chosen light (the fused kernel's in-kernel NEE records the
-        # selection it marched a shadow ray for; -1 = no sample) — the
-        # pdf bookkeeping below is unchanged, the draw-7 selection is
-        # simply replaced by the recorded index
+    if sel_imp is not None:
+        # the fused kernel's in-kernel NEE recorded the chosen light's
+        # importance + the selection total W alongside the index
+        # (path_proc nee_pdf) — the whole (n, L) visibility/importance
+        # field is then redundant: imp_c/W are the kernel's own values
+        # (identical summation order, bit-equal in interpret mode) and
+        # only the chosen light's FEATURES are needed (one-hot matmul
+        # below). Unselected rows record imp_c = 0 -> w = 0 and
+        # valid = False, the same terminals the all-false one-hot yields.
+        assert sel_idx is not None and sel_W is not None
         sel = sel_idx[:, None] == jnp.arange(L, dtype=jnp.int32)[None, :]
+        imp_c_pre, W = sel_imp, sel_W
     else:
-        r = rng.draw(seed, 7) * W
-        prev = jnp.concatenate(
-            [jnp.zeros((n, 1), f32), cum[:, :-1]], axis=1
-        )
-        sel = (cum > r[:, None]) & (prev <= r[:, None])  # exclusive one-hot
+        ctr = (v0 + v1 + v2) / 3.0
+        # epsilon-visibility: any vertex above the hemisphere plane
+        pn = normal[:, None, :]
+        vis = (
+            (_dot(v0[None] - point[:, None], pn) >= EPSILON_BLOCK)
+            | (_dot(v1[None] - point[:, None], pn) >= EPSILON_BLOCK)
+            | (_dot(v2[None] - point[:, None], pn) >= EPSILON_BLOCK)
+        )                                                   # (n, L)
+        dc = ctr[None] - point[:, None]                     # (n, L, 3)
+        d2c = _dot(dc, dc)
+        imp = jnp.where(vis, power[None] / jnp.maximum(d2c, 1e-30), 0.0)
+
+        cum = jnp.cumsum(imp, axis=1)
+        W = cum[:, -1]                                      # == selection total
+        imp_c_pre = None
+        if sel_idx is not None:
+            # pre-chosen light (the fused kernel's in-kernel NEE records the
+            # selection it marched a shadow ray for; -1 = no sample) — the
+            # pdf bookkeeping below is unchanged, the draw-7 selection is
+            # simply replaced by the recorded index
+            sel = sel_idx[:, None] == jnp.arange(L, dtype=jnp.int32)[None, :]
+        else:
+            r = rng.draw(seed, 7) * W
+            prev = jnp.concatenate(
+                [jnp.zeros((n, 1), f32), cum[:, :-1]], axis=1
+            )
+            sel = (cum > r[:, None]) & (prev <= r[:, None])  # exclusive one-hot
     # chosen-light features via one one-hot MXU matmul (no row gathers)
     feats = jnp.concatenate(
         [
@@ -383,7 +397,8 @@ def sample_light_flat(point, normal, seed, flat,
     cuv = chosen[:, 9:15].reshape(-1, 3, 2)
     ctex = jnp.round(chosen[:, 15]).astype(jnp.int32)
     carea = chosen[:, 16]
-    imp_c = jnp.where(sel, imp, 0.0).sum(axis=1)
+    imp_c = (imp_c_pre if imp_c_pre is not None
+             else jnp.where(sel, imp, 0.0).sum(axis=1))
 
     # uniform point on the full triangle (sqrt warp)
     su = jnp.sqrt(rng.draw(seed, 8))

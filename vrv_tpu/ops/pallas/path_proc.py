@@ -123,7 +123,7 @@ def _combine(h, k):
 def _path_kernel(
     *refs,
     ps, t_min, t_max, n_bounces, unroll, coarse, retire_cond=True, n_inst=0,
-    inst_mat=None, step_cap=0, has_done=False, n_lights=0,
+    inst_mat=None, step_cap=0, has_done=False, n_lights=0, nee_pdf=False,
 ):
     """n_lights > 0 enables IN-KERNEL split NEE: after each non-last
     lambert hit the lane samples a light from the flat list (SMEM rows,
@@ -336,8 +336,13 @@ def _path_kernel(
     out_d = [(zf, zf, zf) for _ in range(B - 1)]  # dirs for bounces 1..B-1
     # instance-hit records per bounce: (prim or -1, bary u, bary v)
     out_i = [(zi - 1, zf, zf) for _ in range(B)] if n_inst else []
-    # in-kernel NEE records per non-last bounce: (light idx or -1, vis)
-    out_s = [(zi - 1, zi) for _ in range(B - 1)] if n_lights else []
+    # in-kernel NEE records per non-last bounce: (light idx or -1, vis),
+    # plus (chosen importance, selection total W) when nee_pdf — recording
+    # them lets the XLA direct term skip the whole (n, L) importance
+    # recompute (it only needs the CHOSEN light's features + these two
+    # scalars for the pdf bookkeeping)
+    s_extra = (zf, zf) if nee_pdf else ()
+    out_s = [(zi - 1, zi) + s_extra for _ in range(B - 1)] if n_lights else []
 
     if n_inst:
         ihit0, it0, ij0, iu0, iv0 = inst_intersect(
@@ -515,8 +520,8 @@ def _path_kernel(
             o_s = list(o_s)
             for b in range(B - 1):
                 selv = sh_res & (pbounce == b)
-                sb_i, sb_v = o_s[b]
-                o_s[b] = (sb_i, jnp.where(selv, svis, sb_v))
+                sb = o_s[b]
+                o_s[b] = (sb[0], jnp.where(selv, svis, sb[1])) + sb[2:]
 
         packed = (
             vox_hit.astype(i32)
@@ -773,11 +778,24 @@ def _path_kernel(
             recorded = found & (impc > 0.0)
             for b in range(B - 1):
                 seli = advance & (pbounce == b)
-                sb_i, sb_v = o_s[b]
-                o_s[b] = (
-                    jnp.where(seli, jnp.where(recorded, lidx, -1), sb_i),
-                    jnp.where(seli & ~launch, 1, sb_v),
+                sb = o_s[b]
+                rec_b = (
+                    jnp.where(seli, jnp.where(recorded, lidx, -1), sb[0]),
+                    jnp.where(seli & ~launch, 1, sb[1]),
                 )
+                if nee_pdf:
+                    # pdf record: the chosen light's importance and the
+                    # selection total — exactly sample_light_flat's imp_c
+                    # and W (same summation order), so consuming them in
+                    # XLA is bit-identical to the recompute (unselected
+                    # rows record imp_c = 0 -> w = 0, valid = False, the
+                    # same terminal values the all-false one-hot yields)
+                    rec_b = rec_b + (
+                        jnp.where(seli, jnp.where(recorded, impc, f32(0.0)),
+                                  sb[2]),
+                        jnp.where(seli, W, sb[3]),
+                    )
+                o_s[b] = rec_b
 
         for b in range(1, B):
             sel = advance & (pbounce == b - 1)
@@ -924,10 +942,9 @@ def _path_kernel(
         out_refs[k + 2][:] = rv
         k += 3
     for b in range(B - 1) if n_lights else []:
-        si, sv = o_s[b]
-        out_refs[k][:] = si
-        out_refs[k + 1][:] = sv
-        k += 2
+        for v in o_s[b]:
+            out_refs[k][:] = v
+            k += 1
     # final pbounce: >= B iff the lane resolved all its bounces (pass-1
     # completion mask for the tail restart)
     out_refs[k][:] = s[0]
@@ -937,12 +954,13 @@ def _path_kernel(
     jax.jit,
     static_argnames=("ps", "t_min", "t_max", "n_bounces", "interpret",
                      "unroll", "coarse", "hw", "retire_cond", "n_inst",
-                     "inst_mat", "step_cap", "n_lights"),
+                     "inst_mat", "step_cap", "n_lights", "nee_pdf"),
 )
 def _path_pallas_flat(ps, o, d, seeds, edit_args, t_min, t_max, n_bounces,
                       interpret=False, unroll=1, coarse=None, hw=None,
                       retire_cond=True, inst_args=(), n_inst=0, inst_mat=None,
-                      step_cap=0, done=None, light_args=(), n_lights=0):
+                      step_cap=0, done=None, light_args=(), n_lights=0,
+                      nee_pdf=False):
     br = BLOCK_ROWS
     n = o.shape[0]
     B = n_bounces
@@ -982,8 +1000,9 @@ def _path_pallas_flat(ps, o, d, seeds, edit_args, t_min, t_max, n_bounces,
     sd = prep(seeds)
     done_args = () if done is None else (prep(done.astype(jnp.int32)),)
 
+    s_words = (4 if nee_pdf else 2) if n_lights else 0
     n_out = (2 * B + 3 * (B - 1) + (3 * B if n_inst else 0)
-             + (2 * (B - 1) if n_lights else 0) + 1)
+             + s_words * (B - 1) + 1)
     out_shapes = []
     for b in range(B):
         out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))
@@ -998,6 +1017,9 @@ def _path_pallas_flat(ps, o, d, seeds, edit_args, t_min, t_max, n_bounces,
     for b in range(B - 1) if n_lights else []:
         out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))
         out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))
+        if nee_pdf:
+            out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.float32))
+            out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.float32))
     out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))  # pbounce
 
     from jax.experimental.pallas import tpu as pltpu
@@ -1008,7 +1030,7 @@ def _path_pallas_flat(ps, o, d, seeds, edit_args, t_min, t_max, n_bounces,
             _path_kernel, ps=ps, t_min=t_min, t_max=t_max, n_bounces=B,
             unroll=unroll, coarse=coarse, retire_cond=retire_cond,
             n_inst=n_inst, inst_mat=inst_mat, step_cap=step_cap,
-            has_done=done is not None, n_lights=n_lights,
+            has_done=done is not None, n_lights=n_lights, nee_pdf=nee_pdf,
         ),
         grid=grid,
         in_specs=(
@@ -1065,7 +1087,8 @@ def light_smem_args(flat):
 def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
                       t_min=0.001, t_max=1000.0, pd=None, interpret=False,
                       unroll=None, hw=None, retire_cond=True, inst=None,
-                      inst_static=None, step_cap=0, lights=None):
+                      inst_static=None, step_cap=0, lights=None,
+                      nee_pdf=False):
     """Trace a FULL path (n_bounces bounces) per ray in one kernel.
 
     Preconditions (caller-checked): worldgen scene whose edits are all
@@ -1096,7 +1119,9 @@ def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
     ops.instances.InstanceHit (None when inst is None) recording where
     the instance won the bounce; nee is None without lights, else a list
     of (sel_idx (n,) i32 [-1 = no sample], vis (n,) bool) per non-last
-    bounce.
+    bounce — with nee_pdf additionally (imp_c (n,) f32, W (n,) f32): the
+    chosen light's importance and the selection total, recorded so the
+    XLA direct term can skip the (n, L) importance recompute entirely.
     """
     from vrv_tpu.ops.dda import TraceResult
     from vrv_tpu.ops.dda_proc import _hit_blocks, assemble
@@ -1143,6 +1168,7 @@ def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
         hw=hw, retire_cond=retire_cond,
         inst_args=inst_args, n_inst=n_inst, inst_mat=inst_mat,
         light_args=light_args, n_lights=n_lights,
+        nee_pdf=bool(nee_pdf and n_lights),
     )
     ea = edit_smem_args(ps, pd)
     outs = _path_pallas_flat(
@@ -1216,7 +1242,13 @@ def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
     if n_lights:
         nee = []
         for b in range(B - 1):
-            nee.append((outs[k].reshape(shape),
-                        (outs[k + 1] != 0).reshape(shape)))
+            rec = (outs[k].reshape(shape), (outs[k + 1] != 0).reshape(shape))
             k += 2
+            if nee_pdf:
+                # (chosen importance, selection total W) — lets the XLA
+                # direct term skip the (n, L) importance recompute
+                rec = rec + (outs[k].reshape(shape),
+                             outs[k + 1].reshape(shape))
+                k += 2
+            nee.append(rec)
     return traces, dirs, ihits, nee

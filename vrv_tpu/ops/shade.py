@@ -406,6 +406,8 @@ def shade_resolved(
     w_prev: Optional[jax.Array] = None,
     light_tex_set: Optional[tuple] = None,
     flat_sel_idx: Optional[jax.Array] = None,
+    flat_sel_imp: Optional[jax.Array] = None,
+    flat_sel_W: Optional[jax.Array] = None,
     tex_fetch: str = "split",
 ) -> BounceResult:
     """Texture fetch + BSDF branch + NEE over pre-resolved hits.
@@ -415,6 +417,9 @@ def shade_resolved(
     direct term is then computed for exactly the light the kernel
     marched a shadow ray to, and the caller multiplies by the kernel's
     recorded visibility instead of tracing shadow rays.
+    flat_sel_imp/flat_sel_W: the kernel's recorded chosen-importance and
+    selection-total (path_proc nee_pdf) — sample_light_flat then skips
+    its (n, L) importance field entirely.
 
     Row-independent (every output row depends only on that row's inputs:
     elementwise math, per-row one-hot matmuls, (seed, slot)-keyed draws),
@@ -495,6 +500,7 @@ def shade_resolved(
                 importance_scale=nee_importance_scale,
                 mis_clamp=nee_mis_clamp,
                 sel_idx=flat_sel_idx,
+                sel_imp=flat_sel_imp, sel_W=flat_sel_W,
             )
         else:
             ls = nee.sample_light(

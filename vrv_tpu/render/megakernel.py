@@ -224,6 +224,7 @@ def render_samples(
                     inst_static=inst_static if inst_in_kernel else None,
                     step_cap=cfg.pallas_step_cap,
                     lights=bvh["flat"] if nee_in_kernel else None,
+                    nee_pdf=cfg.pallas_nee_record_pdf,
                 )
         n = o.shape[0]
 
@@ -368,6 +369,20 @@ def render_samples(
                     flat_sel_idx=(
                         _cat([fused_nee[b][0] for b in idx])
                         if (fused_nee is not None and bvh_g is not None)
+                        else None
+                    ),
+                    # with the kernel's recorded (imp_c, W) the sampler
+                    # skips the whole (n, L) importance field
+                    flat_sel_imp=(
+                        _cat([fused_nee[b][2] for b in idx])
+                        if (fused_nee is not None and bvh_g is not None
+                            and len(fused_nee[0]) > 2)
+                        else None
+                    ),
+                    flat_sel_W=(
+                        _cat([fused_nee[b][3] for b in idx])
+                        if (fused_nee is not None and bvh_g is not None
+                            and len(fused_nee[0]) > 2)
                         else None
                     ),
                     tex_fetch=cfg.tex_fetch,
