@@ -394,7 +394,13 @@ def sample_light_flat(point, normal, seed, flat,
     cv0 = chosen[:, 0:3]
     cv1 = chosen[:, 3:6]
     cv2 = chosen[:, 6:9]
-    cuv = chosen[:, 9:15].reshape(-1, 3, 2)
+    # uv corners as three (n, 2) column slices — a (n, 3, 2) reshape here
+    # forces a T(8,128)->T(2,128) relayout over every row (xprof: ~4 ms
+    # of the 98 ms glue); the slices fuse into the consumers instead.
+    # Elementwise-identical formulas -> bit-identical uv_y.
+    cuv0 = chosen[:, 9:11]
+    cuv1 = chosen[:, 11:13]
+    cuv2 = chosen[:, 13:15]
     ctex = jnp.round(chosen[:, 15]).astype(jnp.int32)
     carea = chosen[:, 16]
     imp_c = (imp_c_pre if imp_c_pre is not None
@@ -407,7 +413,7 @@ def sample_light_flat(point, normal, seed, flat,
     b1 = (su * (1.0 - rb))[:, None]
     b2 = (su * rb)[:, None]
     y = b0 * cv0 + b1 * cv1 + b2 * cv2
-    uv_y = b0 * cuv[:, 0] + b1 * cuv[:, 1] + b2 * cuv[:, 2]
+    uv_y = b0 * cuv0 + b1 * cuv1 + b2 * cuv2
 
     to = y - point
     dist = jnp.sqrt(_dot(to, to))
