@@ -1,21 +1,19 @@
 #!/bin/bash
-# One-shot TPU measurement batch (run when the axon tunnel is back).
-# Sequential; everything logs under /tmp/tpu_*.log. See docs/PERF.md
-# "Round 3" for the decision rules each measurement feeds:
-#   - flip cfg.pallas_inkernel_nee default if entry_iknee < entry_full
-#   - retune ops/pallas UNROLL default if entry_u{8,16,24} beat u12
-#   - expect entry_step_cap128 ~1.4x SLOWER (capmodel validation)
+# One-shot TPU measurement batch (run when the axon tunnel is up).
+# Sequential; everything logs under /tmp/tpu_*.log.
+#
+# Most round-3 A/Bs were measured on-chip 2026-08-19 (docs/PERF.md):
+# in-kernel NEE ON, unroll 24, step_cap stays 0, tex dedup kept,
+# tex_fetch='split', pdf records ON, 8x1spp chunking. What remains is
+# re-measuring the production config after any fresh commits (the uv
+# relayout landed unmeasured) and recording the bench JSON.
 set -x
 cd /root/repo
 timeout 240 python -c "import jax; print(jax.devices())" || { echo TUNNEL_DOWN; exit 1; }
-# 1. entry-scene decomposition + flag A/Bs (flat-NEE, batched-shade,
-#    in-kernel NEE, unroll retune, step-cap validation) — interleaved
-#    medians in one process, the only trustworthy comparison here.
-timeout 7200 python tools/probe.py entry --reps 5 > /tmp/tpu_entry.log 2>&1
-# 2. step-cap sweep on the pristine frame
-timeout 5400 python tools/probe.py frame \
-  --tracers proc_pallas,proc_pallas_sc64,proc_pallas_sc128,proc_pallas_sc256 \
-  --reps 5 > /tmp/tpu_sweep.log 2>&1
-# 3. headline bench
-timeout 5400 python bench.py > /tmp/tpu_bench.json 2> /tmp/tpu_bench.log
+# 1. production-config decomposition (interleaved medians, one process)
+timeout 3600 python tools/probe.py entry \
+  --tracers pristine,entry_full,entry_nonee --reps 5 \
+  > /tmp/tpu_entry_r3c.log 2>&1
+# 2. headline bench (all graded configs + diagnostics)
+timeout 7200 python bench.py > /tmp/tpu_bench.json 2> /tmp/tpu_bench.log
 echo ALL_DONE
