@@ -257,6 +257,33 @@ def main() -> int:
         f"wavefront {mode_fps['wavefront']:.3f} fps", file=sys.stderr,
     )
 
+    # graded configs 1 + 2 (BASELINE.md graded list): albedo primary
+    # visibility and diffuse 4spp/4b, measured on the same graded scene
+    # so every graded config has a recorded number
+    grade_fps = {}
+    for key, cg, ng in (
+        ("config1_albedo_1spp_1b_fps",
+         base_cfg.replace(samples_per_pixel=1, max_bounces=1,
+                          debug_view="albedo"), 8),
+        ("config2_diffuse_4spp_4b_fps",
+         base_cfg.replace(samples_per_pixel=4), 4),
+    ):
+        def fg(i, cg=cg):
+            return scene.render(eye, front, right, up, i, cg)
+
+        try:
+            np.asarray(fg(0))
+            t0 = time.perf_counter()
+            for i in range(ng):
+                img = fg(i + 1)
+            np.asarray(img)
+            grade_fps[key] = round(ng / (time.perf_counter() - t0), 3)
+        except Exception as e:  # pragma: no cover - hardware-path guard
+            print(f"[{key}] FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            grade_fps[key] = 0.0
+        print(f"{key}: {grade_fps[key]}", file=sys.stderr)
+
     # both converged formulations are production surfaces (app
     # --converged uses render_converged); report the better one
     conv_best = max(conv_fps, conv1_fps)
@@ -274,6 +301,7 @@ def main() -> int:
         "converged_128spp_onejit_fps": round(conv1_fps, 3),
         "wavefront_4spp_4b_fps": round(mode_fps["wavefront"], 3),
         "megakernel_4spp_4b_fps": round(mode_fps["megakernel"], 3),
+        **grade_fps,
         **diag_fps,
     }))
     return 0
