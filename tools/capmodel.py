@@ -116,6 +116,25 @@ def main():
     bmax = blocks.max(1)
 
     base = bmax.sum()
+
+    # --- block tile-shape sweep: a Mosaic block is 1024 lanes, but WHICH
+    # 1024 pixels is a free layout choice (a reshape/transpose in XLA —
+    # no kernel change). Compact patches have smaller angular spread from
+    # the shared eye, so their lanes share march fate better than the
+    # 8-row x 128-col strip. Cost = sum over patches of patch-max,
+    # including the padding each shape needs.
+    print("\ntile-shape sweep (patch th x tw, 1024 lanes):")
+    for th, tw in ((8, 128), (16, 64), (32, 32), (64, 16), (4, 256),
+                   (128, 8), (1024, 1)):
+        Hp2 = (R + th - 1) // th * th
+        Wp2 = (Wd + tw - 1) // tw * tw
+        ln2 = np.zeros((Hp2, Wp2))
+        ln2[:R, :Wd] = total.reshape(R, Wd)
+        pat = ln2.reshape(Hp2 // th, th, Wp2 // tw, tw).transpose(0, 2, 1, 3)
+        pcost = pat.reshape(-1, th * tw).max(1).sum()
+        print(f"  {th:4d}x{tw:<4d}: {pcost / base:6.2%} of 8x128 "
+              f"({(Hp2 * Wp2) // 1024} blocks)")
+
     q = np.percentile(total, [50, 90, 99, 99.9])
     print(f"lanes {n}; per-lane steps p50/p90/p99/p99.9 = "
           f"{q[0]:.0f}/{q[1]:.0f}/{q[2]:.0f}/{q[3]:.0f} max {total.max():.0f}")

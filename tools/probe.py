@@ -469,6 +469,14 @@ def cmd_entry(args):
         "entry_step_cap128": (
             entry_scene, cam_e, cfg.replace(pallas_step_cap=128)
         ),
+        # march-body A/B: the round-3 convert-heavy step math
+        # (cfg.pallas_march_opt=0) vs the round-4 convert/select-lean body
+        "entry_mo0": (entry_scene, cam_e, cfg.replace(pallas_march_opt=0)),
+        # block patch-shape A/B (cfg.pallas_tile; capmodel --tiles predicts)
+        "entry_t8strip": (entry_scene, cam_e, cfg.replace(pallas_tile="8x128")),
+        "entry_t32": (entry_scene, cam_e, cfg.replace(pallas_tile="32x32")),
+        "entry_t16": (entry_scene, cam_e, cfg.replace(pallas_tile="16x64")),
+        "entry_t64": (entry_scene, cam_e, cfg.replace(pallas_tile="64x16")),
         # texture-fetch formulation A/B (bit-identical variants; the
         # 'split' default's dot gets rewritten by XLA into a gather
         # fusion materializing (n,K,C) — 44+18 ms of the 335 ms frame)

@@ -100,6 +100,18 @@ class RenderConfig:
     # local -> per-block early exit fires together) instead of flat
     # row-major strips. Identical results; A/B knob.
     pallas_tile2d: bool = True
+    # patch shape of the 1024 pixels a fused-kernel block carries,
+    # "THxTW" with TH*TW == 1024 (requires pallas_tile2d + pallas_prepad).
+    # A block costs the max over its lanes of total path steps, and WHICH
+    # 1024 pixels share a block is a free layout choice (a reshape/
+    # transpose in XLA, no kernel change): compact patches (e.g. 32x32)
+    # have ~3x smaller angular spread from the shared eye than the
+    # 8-row x 128-col strip, so their lanes share march fate better.
+    # Identical per-ray results; A/B knob (capmodel --tiles predicts).
+    # Measured on-chip (v5e, interleaved medians, graded entry scene,
+    # 2026-08-20): 32x32 361.4 vs 8x128 393.4 vs 16x64 377.6 ms/frame —
+    # the compact patch wins 8%; default 32x32.
+    pallas_tile: str = "32x32"
     # batched shading over the fused kernel's recorded bounces: run the
     # geometry resolve per bounce (the origin chain is sequential by
     # nature) but ONE shade_resolved call over all NEE bounces' rows —
@@ -125,6 +137,15 @@ class RenderConfig:
     # the direct term and the (1-w) complement). Gates:
     # tests/test_inkernel_nee.py::test_nee_record_pdf_*.
     pallas_nee_record_pdf: bool = True
+    # convert/select-lean march body (ops/pallas/trace_proc.py): VALUE-
+    # identical rewrites of the per-step math chosen from measured v5e VPU
+    # op costs (tools/vpu_probe.py: f32<->i32 converts and selects cost
+    # ~2x an ALU op; i32 multiplies are FULL-RATE, so the hash stays and
+    # the converts go): sign-bit-xor gradient dots, bool-derived corner
+    # offsets, hoisted per-axis step constants, xor-derived face codes.
+    # Bit-identity old-vs-new gated in tests/test_march_opt.py. 0 = the
+    # round-3 body (A/B diagnostic).
+    pallas_march_opt: int = 1
     # fused path kernel tail restart: pass 1 stops after ~this many march
     # steps; a second launch re-traces only the unfinished lanes (their
     # blocks) with the full budget. Bit-identical (deterministic per-lane

@@ -66,6 +66,7 @@ from vrv_tpu.ops.pallas.trace_proc import (
     edit_smem_args,
     exact_step,
     slab_clip,
+    step_consts,
 )
 
 _2PI = float(2.0 * np.pi)
@@ -124,6 +125,7 @@ def _path_kernel(
     *refs,
     ps, t_min, t_max, n_bounces, unroll, coarse, retire_cond=True, n_inst=0,
     inst_mat=None, step_cap=0, has_done=False, n_lights=0, nee_pdf=False,
+    opt=False,
 ):
     """n_lights > 0 enables IN-KERNEL split NEE: after each non-last
     lambert hit the lane samples a light from the flat list (SMEM rows,
@@ -261,7 +263,8 @@ def _path_kernel(
         wy = cy.astype(f32) + goy
         wz = cz.astype(f32) + goz
         dens = (
-            _simplex3_seeded(wx * inv_scale, wy * inv_scale, wz * inv_scale, seed_mix)
+            _simplex3_seeded(wx * inv_scale, wy * inv_scale, wz * inv_scale,
+                             seed_mix, opt=opt)
             - wy * inv_falloff
         )
         s = dens > thr
@@ -319,6 +322,9 @@ def _path_kernel(
             jnp.where(hit0, cz, zero),
             hit0,                                   # entering
             ix, iy, iz,
+            # per-segment step invariants (cfg.pallas_march_opt): refresh
+            # with every fresh march, carried between retires
+            step_consts(dx, dy, dz) if opt else (),
         )
 
     # ---- initial state ----
@@ -326,7 +332,7 @@ def _path_kernel(
     dx0, dy0, dz0 = dx_ref[:], dy_ref[:], dz_ref[:]
     all_rays = jnp.ones(ox0.shape, bool)
     (cx, cy, cz, cur_solid, mhit, mdead, t, face, hx, hy, hz, entering,
-     ix, iy, iz) = init_march(ox0, oy0, oz0, dx0, dy0, dz0, all_rays)
+     ix, iy, iz, sc0) = init_march(ox0, oy0, oz0, dx0, dy0, dz0, all_rays)
 
     zf = jnp.zeros_like(ox0)
     zi = jnp.zeros_like(cx)
@@ -365,7 +371,7 @@ def _path_kernel(
         cx, cy, cz,
         cur_solid.astype(i32), mhit.astype(i32), mdead.astype(i32),
         t, face, hx, hy, hz, entering.astype(i32),
-        inst_st, sh_st,
+        inst_st, sh_st, sc0,
         tuple(out_t), tuple(out_packed), tuple(out_d), tuple(out_i),
         tuple(out_s),
         jnp.int32(0),                           # chunk counter
@@ -387,7 +393,7 @@ def _path_kernel(
     def march_step(s):
         (pbounce, ox, oy, oz, dx, dy, dz, ix, iy, iz, scx, scy, scz,
          cur_solid_i, mhit_i, mdead_i, t, face, hx, hy, hz, entering_i,
-         inst_st, sh_st, o_t, o_p, o_d, o_i, o_s, chunks) = s
+         inst_st, sh_st, sc_st, o_t, o_p, o_d, o_i, o_s, chunks) = s
         cur_solid = cur_solid_i != 0
         mhit = mhit_i != 0
         mdead = mdead_i != 0
@@ -415,6 +421,7 @@ def _path_kernel(
          ax_x, ax_y) = exact_step(
             scx, scy, scz, ox, oy, oz, dx, dy, dz, ix, iy, iz,
             bigx, bigy, bigz, (X, Y, Z),
+            consts=sc_st if opt else None,
         )
 
         nx = jnp.where(can_skip, kx, ex_)
@@ -427,11 +434,16 @@ def _path_kernel(
         exiting_hit = cur_solid & ~new_solid & ~can_skip
         in_range = (t_next >= f32(t_min)) & (t_next <= tmax_v)
         any_hit = marching & in_range & (entering_hit | exiting_hit)
-        nface = jnp.where(
-            entering_hit,
-            axis * 2 + jnp.where(sgn > 0, 0, 1),
-            axis * 2 + jnp.where(sgn > 0, 1, 0),
-        ).astype(i32)
+        if opt:
+            # `axis` IS the entering-face code in the consts form; the
+            # exiting code is the same axis with the parity bit flipped
+            nface = jnp.where(entering_hit, axis, axis ^ 1).astype(i32)
+        else:
+            nface = jnp.where(
+                entering_hit,
+                axis * 2 + jnp.where(sgn > 0, 0, 1),
+                axis * 2 + jnp.where(sgn > 0, 1, 0),
+            ).astype(i32)
 
         rec = any_hit & ~mhit
         dead_exact = ~inside_exact | (t_next > tmax_v)
@@ -473,13 +485,13 @@ def _path_kernel(
             jnp.where(rec, jnp.where(entering_hit, ny, scy), hy),
             jnp.where(rec, jnp.where(entering_hit, nz, scz), hz),
             ((rec & entering_hit) | (~rec & entering)).astype(i32),
-            inst_st, sh_st, o_t, o_p, o_d, o_i, o_s, chunks,
+            inst_st, sh_st, sc_st, o_t, o_p, o_d, o_i, o_s, chunks,
         )
 
     def retire(s):
         (pbounce, ox, oy, oz, dx, dy, dz, ix, iy, iz, scx, scy, scz,
          cur_solid_i, mhit_i, mdead_i, t, face, hx, hy, hz, entering_i,
-         inst_st, sh_st, o_t, o_p, o_d, o_i, o_s, chunks) = s
+         inst_st, sh_st, sc_st, o_t, o_p, o_d, o_i, o_s, chunks) = s
         mhit = mhit_i != 0
         mdead = mdead_i != 0
         entering = entering_i != 0
@@ -858,8 +870,8 @@ def _path_kernel(
         n_oz = jnp.where(advance, hpz, oz)
 
         (icx, icy, icz, icur, imhit, imdead, it, iface, ihx, ihy, ihz,
-         ient, iix, iiy, iiz) = init_march(n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
-                                           relaunch)
+         ient, iix, iiy, iiz, isc) = init_march(n_ox, n_oy, n_oz,
+                                                n_dx, n_dy, n_dz, relaunch)
 
         def merge_f(new, old):
             return jnp.where(relaunch, new, old)
@@ -896,6 +908,7 @@ def _path_kernel(
             merge_f(ihz, jnp.where(resolved, 0, hz)),
             merge_b(ient, entering & ~resolved).astype(i32),
             n_inst_st, n_sh_st,
+            tuple(merge_f(a, b) for a, b in zip(isc, sc_st)),
             tuple(o_t), tuple(o_p), tuple(o_d), tuple(o_i), tuple(o_s),
             chunks,
         )
@@ -954,13 +967,13 @@ def _path_kernel(
     jax.jit,
     static_argnames=("ps", "t_min", "t_max", "n_bounces", "interpret",
                      "unroll", "coarse", "hw", "retire_cond", "n_inst",
-                     "inst_mat", "step_cap", "n_lights", "nee_pdf"),
+                     "inst_mat", "step_cap", "n_lights", "nee_pdf", "opt"),
 )
 def _path_pallas_flat(ps, o, d, seeds, edit_args, t_min, t_max, n_bounces,
                       interpret=False, unroll=1, coarse=None, hw=None,
                       retire_cond=True, inst_args=(), n_inst=0, inst_mat=None,
                       step_cap=0, done=None, light_args=(), n_lights=0,
-                      nee_pdf=False):
+                      nee_pdf=False, opt=False):
     br = BLOCK_ROWS
     n = o.shape[0]
     B = n_bounces
@@ -1031,6 +1044,7 @@ def _path_pallas_flat(ps, o, d, seeds, edit_args, t_min, t_max, n_bounces,
             unroll=unroll, coarse=coarse, retire_cond=retire_cond,
             n_inst=n_inst, inst_mat=inst_mat, step_cap=step_cap,
             has_done=done is not None, n_lights=n_lights, nee_pdf=nee_pdf,
+            opt=opt,
         ),
         grid=grid,
         in_specs=(
@@ -1088,7 +1102,7 @@ def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
                       t_min=0.001, t_max=1000.0, pd=None, interpret=False,
                       unroll=None, hw=None, retire_cond=True, inst=None,
                       inst_static=None, step_cap=0, lights=None,
-                      nee_pdf=False):
+                      nee_pdf=False, march_opt=True):
     """Trace a FULL path (n_bounces bounces) per ray in one kernel.
 
     Preconditions (caller-checked): worldgen scene whose edits are all
@@ -1169,6 +1183,7 @@ def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
         inst_args=inst_args, n_inst=n_inst, inst_mat=inst_mat,
         light_args=light_args, n_lights=n_lights,
         nee_pdf=bool(nee_pdf and n_lights),
+        opt=bool(march_opt),
     )
     ea = edit_smem_args(ps, pd)
     outs = _path_pallas_flat(

@@ -66,12 +66,38 @@ UNROLL = int(_os.environ.get("VRV_PALLAS_UNROLL", "24"))
 INTERPRET = bool(int(_os.environ.get("VRV_PALLAS_INTERPRET", "0")))
 
 
-def _simplex3_seeded(x, y, z, seed_mix):
+def _grad_dot_sx(gi, cx, cy, cz):
+    """ops/noise._grad_dot by sign-bit xor — VALUE-identical, convert-free.
+
+    s * v with s an EXACT +-1.0 equals v with its IEEE sign bit flipped
+    (for every finite/inf/nan v), so the two +-1 scale factors become two
+    xors on the float bits: 2 i32->f32 converts + 2 muls + 2 subs + 2
+    muls per corner collapse to shifts/xors/bitcasts, which the v5e VPU
+    runs at full rate (tools/vpu_probe.py). Equality with _grad_dot is
+    gated in tests/test_march_opt.py."""
+    i32 = jnp.int32
+    g0 = gi < 4
+    g1 = (gi >= 4) & (gi < 8)
+    a = jnp.where(g0 | g1, cx, cy)
+    b = jnp.where(g0, cy, cz)
+    bc = jax.lax.bitcast_convert_type
+    sa = bc(bc(a, i32) ^ ((gi & 1) << 31), jnp.float32)
+    sb = bc(bc(b, i32) ^ ((gi & 2) << 30), jnp.float32)
+    return sa + sb
+
+
+def _simplex3_seeded(x, y, z, seed_mix, opt=False):
     """ops/noise.simplex3 with the host-side seed mix precomputed.
 
     Inlined here (rather than imported) only to take seed_mix as a traced
-    value-free constant; the math must stay textually identical to
-    ops/noise.simplex3 so the two compile to the same per-element program.
+    value-free constant; with opt=False the math stays textually identical
+    to ops/noise.simplex3 so the two compile to the same per-element
+    program. opt=True (cfg.pallas_march_opt) selects VALUE-identical
+    convert/select-lean forms (bool-derived corner offsets, sign-xor
+    gradient dots) — measured op costs in tools/vpu_probe.py put
+    f32<->i32 converts at ~2x an ALU op on the v5e VPU while the hash's
+    i32 multiplies are full-rate, so the converts are what go.
+    Bit-identity old-vs-new gated in tests/test_march_opt.py.
     """
     from vrv_tpu.ops.noise import _F3, _G3, _grad_dot, _grad_index
 
@@ -86,12 +112,18 @@ def _simplex3_seeded(x, y, z, seed_mix):
     gx = x0 >= y0
     gy = y0 >= z0
     gz = x0 >= z0
-    i1 = (gx & gz).astype(jnp.float32)
-    j1 = ((~gx) & gy).astype(jnp.float32)
-    k1 = ((~gy) & (~gz)).astype(jnp.float32)
-    i2 = (gx | (gy & gz)).astype(jnp.float32)
-    j2 = ((~gx) | gy).astype(jnp.float32)
-    k2 = (~(gy & (gx | gz))).astype(jnp.float32)
+    b_i1 = gx & gz
+    b_j1 = (~gx) & gy
+    b_k1 = (~gy) & (~gz)
+    b_i2 = gx | (gy & gz)
+    b_j2 = (~gx) | gy
+    b_k2 = ~(gy & (gx | gz))
+    i1 = b_i1.astype(jnp.float32)
+    j1 = b_j1.astype(jnp.float32)
+    k1 = b_k1.astype(jnp.float32)
+    i2 = b_i2.astype(jnp.float32)
+    j2 = b_j2.astype(jnp.float32)
+    k2 = b_k2.astype(jnp.float32)
     x1 = x0 - i1 + _G3
     y1 = y0 - j1 + _G3
     z1 = z0 - k1 + _G3
@@ -109,14 +141,30 @@ def _simplex3_seeded(x, y, z, seed_mix):
         return _grad_index(ii + di, jj + dj, kk + dk, seed_mix)
 
     g0 = gi(0, 0, 0)
-    g1 = gi(i1.astype(jnp.int32), j1.astype(jnp.int32), k1.astype(jnp.int32))
-    g2 = gi(i2.astype(jnp.int32), j2.astype(jnp.int32), k2.astype(jnp.int32))
+    if opt:
+        # corner-offset ints straight from the ranking bools (the f32
+        # forms take the round trip bool->f32->i32 otherwise: two real
+        # converts per component)
+        zero_i = jnp.zeros_like(ii)
+        one_i = jnp.ones_like(ii)
+        g1 = gi(jnp.where(b_i1, one_i, zero_i),
+                jnp.where(b_j1, one_i, zero_i),
+                jnp.where(b_k1, one_i, zero_i))
+        g2 = gi(jnp.where(b_i2, one_i, zero_i),
+                jnp.where(b_j2, one_i, zero_i),
+                jnp.where(b_k2, one_i, zero_i))
+    else:
+        g1 = gi(i1.astype(jnp.int32), j1.astype(jnp.int32),
+                k1.astype(jnp.int32))
+        g2 = gi(i2.astype(jnp.int32), j2.astype(jnp.int32),
+                k2.astype(jnp.int32))
     g3 = gi(1, 1, 1)
+    gdot = _grad_dot_sx if opt else _grad_dot
 
     def corner(gidx, cx, cy, cz):
         tt = 0.5 - cx * cx - cy * cy - cz * cz
         tt = jnp.maximum(tt, 0.0)
-        dot = _grad_dot(gidx, cx, cy, cz)
+        dot = gdot(gidx, cx, cy, cz)
         return (tt * tt) * (tt * tt) * dot
 
     n = (
@@ -418,14 +466,61 @@ def coarse_skip(coarse, mask, scx, scy, scz, ox, oy, oz, dx, dy, dz,
     return kx, ky, kz, skip_inside, skip_out, can_skip, t_land
 
 
+def step_consts(dx, dy, dz):
+    """Per-axis march-loop invariants, hoisted out of the step body
+    (cfg.pallas_march_opt): the (d > 0) plane offsets as f32, the step
+    signs as i32, and the ENTERING-face codes (axis*2 + (sgn < 0)) per
+    axis. In the single-bounce kernel these are true loop invariants; the
+    path kernel carries them per lane and refreshes them at retire (the
+    direction changes only there). 9 values, all (8,128)."""
+    f32 = jnp.float32
+    i32 = jnp.int32
+    px = (dx > 0).astype(f32)
+    py = (dy > 0).astype(f32)
+    pz = (dz > 0).astype(f32)
+    sx = jnp.where(dx > 0, 1, -1).astype(i32)
+    sy = jnp.where(dy > 0, 1, -1).astype(i32)
+    sz = jnp.where(dz > 0, 1, -1).astype(i32)
+    fex = jnp.where(dx > 0, 0, 1).astype(i32)
+    fey = jnp.where(dy > 0, 2, 3).astype(i32)
+    fez = jnp.where(dz > 0, 4, 5).astype(i32)
+    return (px, py, pz, sx, sy, sz, fex, fey, fez)
+
+
 def exact_step(scx, scy, scz, ox, oy, oz, dx, dy, dz, ix, iy, iz,
-               bigx, bigy, bigz, dims):
+               bigx, bigy, bigz, dims, consts=None):
     """One exact DDA cell step (dda_proc._body formulas). Returns
-    (t_next, axis, sgn, ex_, ey_, ez_, inside_exact, ax_x, ax_y)."""
+    (t_next, axis_or_face, sgn, ex_, ey_, ez_, inside_exact, ax_x, ax_y).
+
+    consts (cfg.pallas_march_opt): the step_consts tuple — the per-axis
+    compares and the axis*2+parity face arithmetic collapse into selects
+    of precomputed values, and the second slot of the return becomes the
+    ENTERING-face code (axis*2 + (sgn < 0)) instead of the axis index
+    (the callers only ever used axis to build that code; the exiting code
+    is its xor with 1). All returned values are bit-identical to the
+    consts=None forms (tests/test_march_opt.py)."""
     f32 = jnp.float32
     i32 = jnp.int32
     X, Y, Z = dims
     fx, fy, fz = scx.astype(f32), scy.astype(f32), scz.astype(f32)
+    if consts is not None:
+        px, py, pz, sx, sy, sz, fex, fey, fez = consts
+        tax = jnp.where(bigx, _BIG, (fx + px - ox) * ix)
+        tay = jnp.where(bigy, _BIG, (fy + py - oy) * iy)
+        taz = jnp.where(bigz, _BIG, (fz + pz - oz) * iz)
+        t_next = jnp.minimum(jnp.minimum(tax, tay), taz)
+        ax_x = t_next == tax
+        ax_y = (~ax_x) & (t_next == tay)
+        face_ent = jnp.where(ax_x, fex, jnp.where(ax_y, fey, fez))
+        sgn = jnp.where(ax_x, sx, jnp.where(ax_y, sy, sz))
+        ex_ = scx + jnp.where(ax_x, sgn, 0)
+        ey_ = scy + jnp.where(ax_y, sgn, 0)
+        ez_ = scz + jnp.where(ax_x | ax_y, 0, sgn)
+        inside_exact = (
+            (ex_ >= 0) & (ex_ < X) & (ey_ >= 0) & (ey_ < Y)
+            & (ez_ >= 0) & (ez_ < Z)
+        )
+        return t_next, face_ent, sgn, ex_, ey_, ez_, inside_exact, ax_x, ax_y
     tax = jnp.where(bigx, _BIG, (fx + (dx > 0) - ox) * ix)
     tay = jnp.where(bigy, _BIG, (fy + (dy > 0) - oy) * iy)
     taz = jnp.where(bigz, _BIG, (fz + (dz > 0) - oz) * iz)
@@ -446,7 +541,7 @@ def exact_step(scx, scy, scz, ox, oy, oz, dx, dy, dz, ix, iy, iz,
 
 def _trace_kernel(
     *refs, ps, t_min, t_max, unroll=1, coarse=None, max_steps_cap=0,
-    has_tcap=False,
+    has_tcap=False, opt=False,
 ):
     f32 = jnp.float32
     i32 = jnp.int32
@@ -493,6 +588,10 @@ def _trace_kernel(
     ix = 1.0 / jnp.where(bigx, tiny, dx)
     iy = 1.0 / jnp.where(bigy, tiny, dy)
     iz = 1.0 / jnp.where(bigz, tiny, dz)
+    # hoisted per-axis step invariants (cfg.pallas_march_opt): directions
+    # never change in this kernel, so the per-step compares/face math
+    # collapse to selects of these
+    consts = step_consts(dx, dy, dz) if opt else None
 
     def solid_tl_at(cx, cy, cz, inside):
         """(solid, translucent) at candidate cells — dda_proc._make_occupancy
@@ -502,7 +601,8 @@ def _trace_kernel(
         wy = cy.astype(f32) + goy
         wz = cz.astype(f32) + goz
         dens = (
-            _simplex3_seeded(wx * inv_scale, wy * inv_scale, wz * inv_scale, seed_mix)
+            _simplex3_seeded(wx * inv_scale, wy * inv_scale, wz * inv_scale,
+                             seed_mix, opt=opt)
             - wy * inv_falloff
         )
         s = dens > thr
@@ -587,7 +687,7 @@ def _trace_kernel(
         (t_next, axis, sgn, ex_, ey_, ez_, inside_exact,
          ax_x, ax_y) = exact_step(
             scx, scy, scz, ox, oy, oz, dx, dy, dz, ix, iy, iz,
-            bigx, bigy, bigz, (X, Y, Z),
+            bigx, bigy, bigz, (X, Y, Z), consts=consts,
         )
 
         nx = jnp.where(can_skip, kx, ex_)
@@ -600,11 +700,16 @@ def _trace_kernel(
         exiting_hit = cur_solid & new_tl & ~can_skip
         in_range = (t_next >= f32(t_min)) & (t_next <= tmax_v)
         any_hit = alive & in_range & (entering_hit | exiting_hit)
-        nface = jnp.where(
-            entering_hit,
-            axis * 2 + jnp.where(sgn > 0, 0, 1),
-            axis * 2 + jnp.where(sgn > 0, 1, 0),
-        ).astype(i32)
+        if opt:
+            # `axis` IS the entering-face code here (exact_step consts
+            # form); the exiting code is the same axis, opposite parity
+            nface = jnp.where(entering_hit, axis, axis ^ 1).astype(i32)
+        else:
+            nface = jnp.where(
+                entering_hit,
+                axis * 2 + jnp.where(sgn > 0, 0, 1),
+                axis * 2 + jnp.where(sgn > 0, 1, 0),
+            ).astype(i32)
 
         rec = any_hit & ~hit
         dead_exact = ~inside_exact | (t_next > tmax_v)
@@ -675,11 +780,11 @@ def edit_smem_args(ps, pd):
 @functools.partial(
     jax.jit,
     static_argnames=("ps", "t_min", "t_max", "interpret", "unroll", "coarse",
-                     "max_steps_cap", "block_rows", "hw"),
+                     "max_steps_cap", "block_rows", "hw", "opt"),
 )
 def _trace_proc_pallas_flat(ps, o, d, edit_args, t_min, t_max, interpret=False,
                             unroll=1, coarse=None, max_steps_cap=0,
-                            block_rows=None, hw=None, tcap=None):
+                            block_rows=None, hw=None, tcap=None, opt=False):
     br = block_rows or BLOCK_ROWS
     n = o.shape[0]
     if hw is not None:
@@ -732,7 +837,7 @@ def _trace_proc_pallas_flat(ps, o, d, edit_args, t_min, t_max, interpret=False,
         functools.partial(
             _trace_kernel, ps=ps, t_min=t_min, t_max=t_max, unroll=unroll,
             coarse=coarse, max_steps_cap=max_steps_cap,
-            has_tcap=tcap is not None,
+            has_tcap=tcap is not None, opt=opt,
         ),
         grid=grid,
         in_specs=[smem] * len(edit_args) + [spec] * (6 + len(tcap_args)),
@@ -748,7 +853,7 @@ def _trace_proc_pallas_flat(ps, o, d, edit_args, t_min, t_max, interpret=False,
 
 def trace_proc_pallas(ps, origin, direction, t_min=0.001, t_max=1000.0,
                       pd=None, interpret=False, unroll=None, max_steps_cap=0,
-                      block_rows=None, hw=None, tcap=None):
+                      block_rows=None, hw=None, tcap=None, march_opt=True):
     """Same contract as dda_proc.trace_proc (incl. the padded edit list).
 
     hw=(R, W): optional pixel-grid shape of the flattened ray batch
@@ -780,7 +885,8 @@ def trace_proc_pallas(ps, origin, direction, t_min=0.001, t_max=1000.0,
                                         max_steps_cap=max_steps_cap,
                                         block_rows=block_rows, hw=hw,
                                         tcap=None if tcap is None
-                                        else tcap.reshape(-1).astype(jnp.float32))
+                                        else tcap.reshape(-1).astype(jnp.float32),
+                                        opt=bool(march_opt))
     hit = (packed & 1) == 1
     entering = ((packed >> 1) & 1) == 1
     face = (packed >> 2) & 7

@@ -173,7 +173,40 @@ def render_samples(
         from vrv_tpu.ops.pallas.path_proc import trace_path_pallas
 
         hw = None
-        if cfg.pallas_tile2d:
+        tile_shape = None
+        if cfg.pallas_tile2d and cfg.pallas_prepad and cfg.pallas_tile != "8x128":
+            th, tw = (int(v) for v in cfg.pallas_tile.split("x"))
+            if th * tw != 8 * 128:
+                raise ValueError(f"pallas_tile {cfg.pallas_tile}: TH*TW must be 1024")
+            tile_shape = (th, tw)
+        if tile_shape is not None:
+            # patch re-layout (cfg.pallas_tile): each (8,128) Mosaic block
+            # carries a th x tw PIXEL PATCH — flat patch-major order makes
+            # every consecutive 1024-lane slab one patch, so the kernel
+            # sees hw = (nblocks*8, 128) with zero internal padding.
+            # Identical per-ray values; padding pixels are degenerate rays
+            th, tw = tile_shape
+            R = S * H
+            Hp = (R + th - 1) // th * th
+            Wp = (W + tw - 1) // tw * tw
+
+            def tile2(x):
+                shaped = x.reshape((R, W) + x.shape[1:])
+                shaped = jnp.pad(
+                    shaped,
+                    [(0, Hp - R), (0, Wp - W)] + [(0, 0)] * (x.ndim - 1),
+                )
+                p = shaped.reshape((Hp // th, th, Wp // tw, tw) + x.shape[1:])
+                return jnp.moveaxis(p, 2, 1).reshape(
+                    (Hp * Wp,) + x.shape[1:]
+                )
+
+            o = tile2(o)
+            d = tile2(d)
+            seeds = tile2(seeds)
+            fused_pad = ("tile", th, tw, Hp, Wp)
+            hw = (Hp * Wp // 128, 128)
+        elif cfg.pallas_tile2d:
             # pre-pad the ray layout to the kernel's tile grid ONCE and
             # keep the WHOLE bounce loop on the padded layout (padding
             # lanes are degenerate: miss -> masked everywhere) — the
@@ -225,6 +258,7 @@ def render_samples(
                     step_cap=cfg.pallas_step_cap,
                     lights=bvh["flat"] if nee_in_kernel else None,
                     nee_pdf=cfg.pallas_nee_record_pdf,
+                    march_opt=bool(cfg.pallas_march_opt),
                 )
         n = o.shape[0]
 
@@ -251,6 +285,7 @@ def render_samples(
                     unroll=cfg.pallas_unroll or None,
                     hw=hw,
                     tcap=tcap,
+                    march_opt=bool(cfg.pallas_march_opt),
                 )
             from vrv_tpu.ops.dda_proc import trace_proc
 
@@ -278,7 +313,10 @@ def render_samples(
     # ray-layout geometry for 2D image-tile blocking: each pallas block is
     # an 8 x 128 PIXEL TILE (bounce rays inherit their pixel's slot, so
     # locality persists across bounces); padded when fused_pad is set
-    layout_w = fused_pad[1] if fused_pad is not None else W
+    if fused_pad is not None and fused_pad[0] == "tile":
+        layout_w = 128
+    else:
+        layout_w = fused_pad[1] if fused_pad is not None else W
     layout_rows = n // layout_w if cfg.pallas_tile2d else None
     hw_bounce = (layout_rows, layout_w) if cfg.pallas_tile2d else None
 
@@ -653,7 +691,12 @@ def render_samples(
                     split_T[b] * split_direct[b] * vis3[b * n:(b + 1) * n]
                 )
 
-    if fused_pad is not None:
+    if fused_pad is not None and fused_pad[0] == "tile":
+        _, th, tw, Hp, Wp = fused_pad
+        p = color.reshape(Hp // th, Wp // tw, th, tw, 3)
+        color = jnp.moveaxis(p, 1, 2).reshape(Hp, Wp, 3)[: S * H, :W]
+        color = color.reshape(-1, 3)
+    elif fused_pad is not None:
         Rp, Wp = fused_pad
         color = color.reshape(Rp, Wp, 3)[: S * H, :W].reshape(-1, 3)
     if ray_layout == "hsw":
