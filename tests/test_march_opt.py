@@ -99,9 +99,12 @@ def test_graded_render_march_opt_bit_identical(block_table):
                        max_bounces=3, tracer="proc", pallas_unroll=1,
                        proc_backend="pallas")
     imgs = {}
-    for mo in (0, 1):
+    for mo in (0, 1, 2):
         imgs[mo] = np.asarray(sc.render_samples(
             *cam, 0, cfg.replace(pallas_march_opt=mo)
         ))
     assert (imgs[0].view(np.uint32) == imgs[1].view(np.uint32)).all()
+    # level 2 (resolved-lane drift: the freeze selects dropped) must also
+    # be output-identical — nothing reads a resolved lane's cell again
+    assert (imgs[0].view(np.uint32) == imgs[2].view(np.uint32)).all()
     assert imgs[1].std() > 1.0  # non-trivial frame (lamp visible)

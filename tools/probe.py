@@ -472,6 +472,8 @@ def cmd_entry(args):
         # march-body A/B: the round-3 convert-heavy step math
         # (cfg.pallas_march_opt=0) vs the round-4 convert/select-lean body
         "entry_mo0": (entry_scene, cam_e, cfg.replace(pallas_march_opt=0)),
+        # level 2: resolved-lane freeze selects dropped (drift is unread)
+        "entry_mo2": (entry_scene, cam_e, cfg.replace(pallas_march_opt=2)),
         # block patch-shape A/B (cfg.pallas_tile; capmodel --tiles predicts)
         "entry_t8strip": (entry_scene, cam_e, cfg.replace(pallas_tile="8x128")),
         "entry_t32": (entry_scene, cam_e, cfg.replace(pallas_tile="32x32")),

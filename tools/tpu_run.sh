@@ -16,7 +16,7 @@ timeout 5400 python tools/probe.py entry \
   > /tmp/tpu_entry_r4.log 2>&1
 # 2. unroll re-check at the new march body
 timeout 3600 python tools/probe.py entry \
-  --tracers entry_full,entry_u16,entry_iknee_u32 --reps 5 \
+  --tracers entry_full,entry_mo2,entry_u16 --reps 5 \
   > /tmp/tpu_unroll_r4.log 2>&1
 # 3. wavefront vs megakernel, interleaved (advisor round-3 medium item)
 timeout 3600 python tools/probe.py frame \

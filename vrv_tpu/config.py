@@ -143,8 +143,12 @@ class RenderConfig:
     # ~2x an ALU op; i32 multiplies are FULL-RATE, so the hash stays and
     # the converts go): sign-bit-xor gradient dots, bool-derived corner
     # offsets, hoisted per-axis step constants, xor-derived face codes.
-    # Bit-identity old-vs-new gated in tests/test_march_opt.py. 0 = the
-    # round-3 body (A/B diagnostic).
+    # Level 2 additionally drops the path kernel's resolved-lane freeze
+    # selects (a resolved lane's cell may drift along its dead direction;
+    # nothing reads it again — the single-bounce kernel already works
+    # this way). Bit-identity across levels gated in
+    # tests/test_march_opt.py. 0 = the round-3 body (A/B diagnostic).
+    # On-chip (2026-08-20): level 1 393.4 vs level 0 403.0 ms/frame.
     pallas_march_opt: int = 1
     # fused path kernel tail restart: pass 1 stops after ~this many march
     # steps; a second launch re-traces only the unfinished lanes (their

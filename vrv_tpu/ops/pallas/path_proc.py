@@ -457,6 +457,14 @@ def _path_kernel(
             dead_now = dead_now | (
                 marching & ~cur_solid & (dy >= 0.0) & (scy >= y_cut)
             )
+        # opt >= 2: drop the resolved-lane freeze selects below — a
+        # resolved lane's cell/cur_solid may keep "marching" along its
+        # dead direction, and NOTHING reads them again (records are
+        # rec-guarded; retire reads records + inst/sh state only; every
+        # downstream mask includes `marching`). The single-bounce kernel
+        # already lets dead lanes drift (its cell updates are
+        # unconditional); this mirrors it. Output-identical
+        # (tests/test_march_opt.py gates level 2 as well).
         if n_inst:
             # once the march passes the instance hit, no nearer voxel hit
             # can exist -> resolve now; retire's t-compare picks the
@@ -470,13 +478,20 @@ def _path_kernel(
             dead_now = dead_now | (
                 marching & ~any_hit & (inst_st[0] != 0) & (t_prog > inst_st[1])
             )
-        keep = ~marching
+        if opt >= 2:
+            ncx, ncy, ncz = nx, ny, nz
+            ncur = new_solid.astype(i32)
+        else:
+            keep = ~marching
+            ncx = jnp.where(keep, scx, nx)
+            ncy = jnp.where(keep, scy, ny)
+            ncz = jnp.where(keep, scz, nz)
+            # bitwise select: Mosaic rejects select_n on i1 vectors
+            ncur = ((keep & cur_solid) | (~keep & new_solid)).astype(i32)
         return (
             pbounce, ox, oy, oz, dx, dy, dz, ix, iy, iz,
-            jnp.where(keep, scx, nx), jnp.where(keep, scy, ny),
-            jnp.where(keep, scz, nz),
-            # bitwise select: Mosaic rejects select_n on i1 vectors
-            ((keep & cur_solid) | (~keep & new_solid)).astype(i32),
+            ncx, ncy, ncz,
+            ncur,
             (mhit | any_hit).astype(i32),
             (mdead | dead_now).astype(i32),
             jnp.where(rec, t_next, t),
@@ -1183,7 +1198,7 @@ def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
         inst_args=inst_args, n_inst=n_inst, inst_mat=inst_mat,
         light_args=light_args, n_lights=n_lights,
         nee_pdf=bool(nee_pdf and n_lights),
-        opt=bool(march_opt),
+        opt=int(march_opt),
     )
     ea = edit_smem_args(ps, pd)
     outs = _path_pallas_flat(

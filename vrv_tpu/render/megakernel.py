@@ -258,7 +258,7 @@ def render_samples(
                     step_cap=cfg.pallas_step_cap,
                     lights=bvh["flat"] if nee_in_kernel else None,
                     nee_pdf=cfg.pallas_nee_record_pdf,
-                    march_opt=bool(cfg.pallas_march_opt),
+                    march_opt=int(cfg.pallas_march_opt),
                 )
         n = o.shape[0]
 
@@ -285,7 +285,7 @@ def render_samples(
                     unroll=cfg.pallas_unroll or None,
                     hw=hw,
                     tcap=tcap,
-                    march_opt=bool(cfg.pallas_march_opt),
+                    march_opt=int(cfg.pallas_march_opt),
                 )
             from vrv_tpu.ops.dda_proc import trace_proc
 
