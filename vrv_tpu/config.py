@@ -148,8 +148,9 @@ class RenderConfig:
     # nothing reads it again — the single-bounce kernel already works
     # this way). Bit-identity across levels gated in
     # tests/test_march_opt.py. 0 = the round-3 body (A/B diagnostic).
-    # On-chip (2026-08-20): level 1 393.4 vs level 0 403.0 ms/frame.
-    pallas_march_opt: int = 1
+    # On-chip (2026-08-20): level 1 393.4 vs level 0 403.0 ms/frame;
+    # level 2 361.3 vs level 1 365.6 (same-process interleaved).
+    pallas_march_opt: int = 2
     # fused path kernel tail restart: pass 1 stops after ~this many march
     # steps; a second launch re-traces only the unfinished lanes (their
     # blocks) with the full budget. Bit-identical (deterministic per-lane
