@@ -2,14 +2,22 @@
 
 WHICH 1024 pixels share a Mosaic block is a pure layout choice — the
 permutation is reshape/transpose in XLA and every downstream shading op
-is row-independent — so renders must be bit-identical across tile
-shapes. Block cost (max over lanes of path steps) is what changes;
-tools/capmodel.py's tile sweep predicts it, the chip A/B decides
-(probe token entry_t32).
+is row-independent — so per-ray values are identical up to compiler
+fusion drift: XLA:CPU vectorizes the same elementwise graph differently
+for different padded shapes (SIMD-vs-remainder lanes contract FMAs
+differently), measured at <= 1 ulp on isolated dark pixels (9e-13 abs
+on a 7.7e-06 radiance under the local-XLA pytest env; the remote
+compiler showed none). The honest gate — like the in-kernel-NEE
+cross-graph gate — is ~1-ulp relative agreement plus BIT-identical
+packed u8 frames. Block cost (max over lanes of path steps) is what a
+tile shape actually changes; tools/capmodel.py's tile sweep predicts
+it, the chip A/B decides (probe token entry_t32).
 """
 
 import numpy as np
 import pytest
+
+import jax.numpy as jnp
 
 from vrv_tpu.config import RenderConfig
 
@@ -26,7 +34,9 @@ def interpret_pallas():
     tp.INTERPRET = old
 
 
-def test_tile_shapes_bit_identical(block_table):
+def test_tile_shapes_agree(block_table):
+    from vrv_tpu.render.megakernel import pack_bgra
+
     sc, cam = _ego_scene(block_table, with_lamp=True)
     cfg = RenderConfig(width=40, height=24, samples_per_pixel=2,
                        max_bounces=3, tracer="proc", pallas_unroll=1,
@@ -37,8 +47,12 @@ def test_tile_shapes_bit_identical(block_table):
             *cam, 0, cfg.replace(pallas_tile=tile)
         ))
     for tile in ("32x32", "16x64"):
-        assert (imgs[tile].view(np.uint32)
-                == imgs["8x128"].view(np.uint32)).all(), tile
+        a, b = imgs["8x128"], imgs[tile]
+        rel = np.abs(a - b) / np.maximum(np.abs(a), 1e-6)
+        assert rel.max() < 1e-5, f"{tile}: max rel {rel.max()}"
+        pa = np.asarray(pack_bgra(jnp.asarray(a.mean(0))))
+        pb = np.asarray(pack_bgra(jnp.asarray(b.mean(0))))
+        assert (pa == pb).all(), tile
     assert imgs["8x128"].std() > 1.0
 
 

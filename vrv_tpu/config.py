@@ -107,7 +107,10 @@ class RenderConfig:
     # transpose in XLA, no kernel change): compact patches (e.g. 32x32)
     # have ~3x smaller angular spread from the shared eye than the
     # 8-row x 128-col strip, so their lanes share march fate better.
-    # Identical per-ray results; A/B knob (capmodel --tiles predicts).
+    # Per-ray values agree across shapes up to XLA fusion drift (<=1 ulp
+    # on CPU: shape-dependent SIMD/remainder FMA contraction; packed u8
+    # frames bit-identical — tests/test_tile_shape.py). A/B knob
+    # (capmodel --tiles predicts).
     # Measured on-chip (v5e, interleaved medians, graded entry scene,
     # 2026-08-20): 32x32 361.4 vs 8x128 393.4 vs 16x64 377.6 ms/frame —
     # the compact patch wins 8%; default 32x32.

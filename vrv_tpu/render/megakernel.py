@@ -184,7 +184,9 @@ def render_samples(
             # carries a th x tw PIXEL PATCH — flat patch-major order makes
             # every consecutive 1024-lane slab one patch, so the kernel
             # sees hw = (nblocks*8, 128) with zero internal padding.
-            # Identical per-ray values; padding pixels are degenerate rays
+            # Per-ray values agree across shapes to <=1 ulp (XLA fusion
+            # drift; packed frames bit-identical — tests/test_tile_shape);
+            # padding pixels are degenerate rays
             th, tw = tile_shape
             R = S * H
             Hp = (R + th - 1) // th * th
