@@ -52,7 +52,13 @@ def test_tile_shapes_agree(block_table):
         assert rel.max() < 1e-5, f"{tile}: max rel {rel.max()}"
         pa = np.asarray(pack_bgra(jnp.asarray(a.mean(0))))
         pb = np.asarray(pack_bgra(jnp.asarray(b.mean(0))))
-        assert (pa == pb).all(), tile
+        # the acknowledged <=1-ulp float drift can land exactly on a 1/255
+        # quantization boundary under a future compiler version; allow at
+        # most one u8 step per channel so the gate stays honest without
+        # becoming flaky on compiler drift (ADVICE r4)
+        du8 = np.abs(pa.astype(np.int32) - pb.astype(np.int32))
+        assert du8.max() <= 1, f"{tile}: max u8 delta {du8.max()}"
+        assert (du8 != 0).mean() < 1e-3, f"{tile}: {du8.mean()} widespread"
     assert imgs["8x128"].std() > 1.0
 
 

@@ -474,7 +474,8 @@ def cmd_entry(args):
         "entry_mo0": (entry_scene, cam_e, cfg.replace(pallas_march_opt=0)),
         # level 2: resolved-lane freeze selects dropped (drift is unread)
         "entry_mo2": (entry_scene, cam_e, cfg.replace(pallas_march_opt=2)),
-        # block patch-shape A/B (cfg.pallas_tile; capmodel --tiles predicts)
+        # block patch-shape A/B (cfg.pallas_tile; capmodel's tile-shape
+        # sweep, run as part of its main(), predicts the ordering)
         "entry_t8strip": (entry_scene, cam_e, cfg.replace(pallas_tile="8x128")),
         "entry_t32": (entry_scene, cam_e, cfg.replace(pallas_tile="32x32")),
         "entry_t16": (entry_scene, cam_e, cfg.replace(pallas_tile="16x64")),

@@ -69,6 +69,27 @@ def render_samples(
     W = cfg.width
     H = local_height or cfg.height
     S = local_spp or cfg.samples_per_pixel
+    # validate the tile knob UNCONDITIONALLY (ADVICE r4): a malformed
+    # value must fail even on paths that would silently ignore it, and an
+    # A/B that requests a non-default tile without the relayout
+    # preconditions (tile2d + prepad) would otherwise measure the 8x128
+    # layout while appearing to test the requested one
+    if cfg.pallas_tile != "8x128":
+        try:
+            th_v, tw_v = (int(v) for v in cfg.pallas_tile.split("x"))
+        except ValueError:
+            raise ValueError(
+                f"pallas_tile {cfg.pallas_tile!r}: expected 'THxTW'")
+        if th_v * tw_v != 8 * 128:
+            raise ValueError(
+                f"pallas_tile {cfg.pallas_tile}: TH*TW must be 1024")
+        if not (cfg.pallas_tile2d and cfg.pallas_prepad):
+            import warnings
+
+            warnings.warn(
+                f"pallas_tile {cfg.pallas_tile} requested but "
+                "pallas_tile2d/pallas_prepad are off — the fused kernel "
+                "will run the 8x128 layout", stacklevel=2)
     # backend resolution for the proc tracer: the Mosaic kernel needs a
     # TPU; 'auto' (the default) picks it exactly there and the XLA
     # while_loop tracer everywhere else. World edits ride into the kernel
