@@ -147,6 +147,8 @@ def main() -> int:
         # its on-chip A/B); record the split formulation as the A side
         ("entry_split_nee_fps", cfg.replace(pallas_inkernel_nee=False)),
         ("entry_step_cap128_fps", cfg.replace(pallas_step_cap=128)),
+        # round-5 A side: the record-replay path (in-kernel radiance off)
+        ("entry_ikr_off_fps", cfg.replace(pallas_inkernel_radiance=False)),
     ):
         try:
             np.asarray(run(0, c=c))
@@ -164,6 +166,89 @@ def main() -> int:
     # ladder — if the production config was the reason the ladder fell
     # back, re-dispatching it here would just record 0.0 rows
     base_cfg = won_cfg if won_cfg is not None else cfg
+
+    # --- gameplay-cliff diagnostics (VERDICT r4 item 4): the entry scene
+    # with a placed MIRROR (the default block, quirk Q7 — used to evict
+    # the fused kernel) and with a 256-edit mixed build incl. mirrors +
+    # lamps (per-chunk edit gate; PROC_EDIT_CAP now 1024). Done criterion:
+    # edits256 >= 80% of the headline rate. ---
+    def _cliff_scene(n_edits):
+        sc, _cam = ge._scene_args(32 if SMOKE else 128, cfg)
+        bt = sc.table
+        gsz = sc.grid.shape[0]
+        org = np.asarray(sc.world_cfg.origin)
+        solid = bt.solid[sc._grid_np]
+        rng_ = np.random.default_rng(11)
+        ids = [int(bt.block_idx(nm))
+               for nm in ("soil", "stone", "lamp", "mirror")]
+        placed = 0
+        span = min(12, gsz // 2 - 2)
+        while placed < n_edits:
+            x = int(rng_.integers(gsz // 2 - span, gsz // 2 + span))
+            z = int(rng_.integers(gsz // 2 - span, gsz // 2 + span))
+            ys = np.nonzero(solid[x, :, z])[0]
+            if not len(ys) or ys.max() + 3 >= gsz:
+                continue
+            y = int(ys.max()) + 1 + placed % 3
+            bid = int(bt.air) if placed % 5 == 4 else ids[placed % 4]
+            if sc.set_block(np.array([x, y, z]) + org, bid):
+                placed += 1
+        return sc
+
+    for key, n_ed, nf in (("entry_mirror_fps", 1, 4),
+                          ("entry_edits256_fps", 256, 4)):
+        try:
+            if n_ed == 1:
+                sc_c, _ = ge._scene_args(32 if SMOKE else 128, cfg)
+                gsz = sc_c.grid.shape[0]
+                org = np.asarray(sc_c.world_cfg.origin)
+                solid = sc_c.table.solid[sc_c._grid_np]
+                ys = np.nonzero(solid[gsz // 2 + 2, :, gsz // 2 + 2])[0]
+                sc_c.set_block(
+                    np.array([gsz // 2 + 2, int(ys.max()) + 1,
+                              gsz // 2 + 2]) + org,
+                    int(sc_c.table.block_idx("mirror")))
+            else:
+                sc_c = _cliff_scene(32 if SMOKE else n_ed)
+            assert sc_c.proc_static is not None
+            assert sc_c.proc_static.edits_fused
+            np.asarray(run(0, sc_c, c=base_cfg))
+            t0 = time.perf_counter()
+            imgs = [run(i + 1, sc_c, c=base_cfg) for i in range(nf)]
+            np.asarray(imgs[-1])
+            diag_fps[key] = round(nf / (time.perf_counter() - t0), 3)
+        except Exception as e:  # pragma: no cover - hardware-path guard
+            print(f"[{key}] FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            diag_fps[key] = 0.0
+        print(f"{key}: {diag_fps[key]}", file=sys.stderr)
+
+    # Pallas-under-shard_map on the real chip (VERDICT r4 item 6): the
+    # production multi-chip dispatch on a 1-device mesh vs the plain
+    # single dispatch of the same 8-spp frame
+    try:
+        from vrv_tpu.parallel.mesh import make_render_mesh
+
+        cfg8 = base_cfg.replace(
+            samples_per_pixel=CHUNKS * base_cfg.samples_per_pixel)
+        mesh1 = make_render_mesh(1, spp=cfg8.samples_per_pixel,
+                                 height=cfg8.height)
+        for key, f1 in (
+            ("entry_one8_fps",
+             lambda i: scene.render(eye, front, right, up, i, cfg8)),
+            ("entry_shmap1_fps",
+             lambda i: scene.render_sharded(
+                 mesh1, eye, front, right, up, i, cfg8)),
+        ):
+            np.asarray(f1(0))
+            t0 = time.perf_counter()
+            for i in range(4):
+                img = f1(i + 1)
+            np.asarray(img)
+            diag_fps[key] = round(4 / (time.perf_counter() - t0), 3)
+            print(f"{key}: {diag_fps[key]}", file=sys.stderr)
+    except Exception as e:  # pragma: no cover - hardware-path guard
+        print(f"[shmap1] FAILED: {type(e).__name__}: {e}", file=sys.stderr)
 
     # pristine-world diagnostic (no lamp, no edits): the fused path
     # kernel's raw rate, for kernel-progress tracking
@@ -229,6 +314,27 @@ def main() -> int:
               file=sys.stderr)
     print(f"converged 128spp onejit: {conv1_fps:.3f} fps", file=sys.stderr)
 
+    # converged chunk-size A/B (VERDICT r4 item 5): the same 128 spp as
+    # 8 fori_loop iterations of 16-spp passes — 16x fewer per-pass glue
+    # rounds at 16x larger fusion intermediates
+    conv16_fps = 0.0
+    try:
+        cfg16 = base_cfg.replace(samples_per_pixel=8 if SMOKE else 16)
+        c16 = conv_chunks // (8 if SMOKE else 16)
+        np.asarray(scene.render_converged(eye, front, right, up, 0,
+                                          c16, cfg16))
+        t0 = time.perf_counter()
+        np.asarray(scene.render_converged(eye, front, right, up, 1,
+                                          c16, cfg16))
+        np.asarray(scene.render_converged(eye, front, right, up, 2,
+                                          c16, cfg16))
+        conv16_fps = 2 / (time.perf_counter() - t0)
+    except Exception as e:  # pragma: no cover - hardware-path guard
+        print(f"[converged_c16] FAILED: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    print(f"converged 128spp c16 onejit: {conv16_fps:.3f} fps",
+          file=sys.stderr)
+
     # wavefront vs megakernel at 4 spp / 4 bounces (reference README.md:31),
     # both as four accumulated 1-spp passes (the headline-frame shape)
     mode_fps = {}
@@ -286,7 +392,7 @@ def main() -> int:
 
     # both converged formulations are production surfaces (app
     # --converged uses render_converged); report the better one
-    conv_best = max(conv_fps, conv1_fps)
+    conv_best = max(conv_fps, conv1_fps, conv16_fps)
     print(json.dumps({
         "metric": "frames_per_sec_800x600_8spp_4bounce_128grid",
         "value": round(fps, 3),
@@ -299,6 +405,7 @@ def main() -> int:
         "converged_128spp_vs_baseline": round(conv_best / 3.0, 3),
         "converged_128spp_hostloop_fps": round(conv_fps, 3),
         "converged_128spp_onejit_fps": round(conv1_fps, 3),
+        "converged_128spp_c16_fps": round(conv16_fps, 3),
         "wavefront_4spp_4b_fps": round(mode_fps["wavefront"], 3),
         "megakernel_4spp_4b_fps": round(mode_fps["megakernel"], 3),
         **grade_fps,

@@ -504,8 +504,58 @@ def cmd_entry(args):
         "entry_spp8x1": (
             entry_scene, cam_e, cfg.replace(samples_per_pixel=8), 1
         ),
+        # round-5 A/Bs: in-kernel radiance (the 93 ms of XLA glue moved
+        # into the kernel's retire path — docs/PERF.md round-5)
+        "entry_ikr0": (
+            entry_scene, cam_e, cfg.replace(pallas_inkernel_radiance=False)
+        ),
+        "entry_ikr_u16": (entry_scene, cam_e, cfg.replace(pallas_unroll=16)),
+        "entry_ikr_u32": (entry_scene, cam_e, cfg.replace(pallas_unroll=32)),
     }
-    only = args.tracers if args.tracers != "rows,proc" else ""
+    # round-5 gameplay-cliff scenes: the entry world with a placed mirror
+    # (the DEFAULT block, quirk Q7 — used to evict the fused kernel) and
+    # with a 256-edit mixed build (per-chunk edit gate + cap raise)
+    _only = args.tracers if args.tracers != "rows,proc" else ""
+    if not _only or "entry_mirror" in _only:
+        mirror_scene, _ = ge._scene_args(args.grid, cfg)
+        mb = int(mirror_scene.table.block_idx("mirror"))
+        gsz = args.grid
+        org = np.asarray(mirror_scene.world_cfg.origin)
+        solid = mirror_scene.table.solid[mirror_scene._grid_np]
+        ys = np.nonzero(solid[gsz // 2 + 2, :, gsz // 2 + 2])[0]
+        mirror_scene.set_block(
+            np.array([gsz // 2 + 2, int(ys.max()) + 1, gsz // 2 + 2]) + org,
+            mb,
+        )
+        assert mirror_scene.proc_static is not None
+        assert mirror_scene.proc_static.edits_fused
+        variants["entry_mirror"] = (mirror_scene, cam_e, cfg)
+    if not _only or "entry_edits256" in _only:
+        e256_scene, _ = ge._scene_args(args.grid, cfg)
+        bt = e256_scene.table
+        gsz = args.grid
+        org = np.asarray(e256_scene.world_cfg.origin)
+        solid = bt.solid[e256_scene._grid_np]
+        rng_ = np.random.default_rng(11)
+        ids = [int(bt.block_idx(n))
+               for n in ("soil", "stone", "lamp", "mirror")]
+        placed = 0
+        # a local build: edits cluster in a 24^3 region near the camera
+        # (realistic gameplay — a player building a structure)
+        while placed < 256:
+            x = int(rng_.integers(gsz // 2 - 12, gsz // 2 + 12))
+            z = int(rng_.integers(gsz // 2 - 12, gsz // 2 + 12))
+            ys = np.nonzero(solid[x, :, z])[0]
+            if not len(ys) or ys.max() + 3 >= gsz:
+                continue
+            y = int(ys.max()) + 1 + placed % 3
+            bid = int(bt.air) if placed % 5 == 4 else ids[placed % 4]
+            if e256_scene.set_block(np.array([x, y, z]) + org, bid):
+                placed += 1
+        assert e256_scene.proc_static is not None, "256 edits must stay proc"
+        assert e256_scene.proc_static.edits_fused
+        variants["entry_edits256"] = (e256_scene, cam_e, cfg)
+    only = _only
     for name, v in variants.items():
         if only and name not in only.split(","):
             continue
@@ -515,6 +565,30 @@ def cmd_entry(args):
         np.asarray(fns[name]())
         print(f"  {name}: compile+first {time.perf_counter() - t0:6.1f}s",
               flush=True)
+    # Pallas-under-shard_map on the real chip (VERDICT r4 item 6): the
+    # production multi-chip dispatch on a 1-device mesh, interleaved
+    # against the plain single dispatch of the same 8-spp frame — proves
+    # the fused kernel executes under shard_map on TPU and bounds the
+    # shard_map overhead
+    want = (lambda n: not only or n in only.split(","))
+    if want("entry_one8") or want("entry_shmap1"):
+        cfg8 = cfg.replace(samples_per_pixel=chunks)
+        if want("entry_one8"):
+            fns["entry_one8"] = lambda f=0: entry_scene.render(
+                *cam_e, f, cfg8)
+        if want("entry_shmap1"):
+            from vrv_tpu.parallel.mesh import make_render_mesh
+
+            mesh1 = make_render_mesh(
+                1, spp=cfg8.samples_per_pixel, height=cfg8.height)
+            fns["entry_shmap1"] = lambda f=0: entry_scene.render_sharded(
+                mesh1, *cam_e, f, cfg8)
+        for nm in ("entry_one8", "entry_shmap1"):
+            if nm in fns:
+                t0 = time.perf_counter()
+                np.asarray(fns[nm]())
+                print(f"  {nm}: compile+first "
+                      f"{time.perf_counter() - t0:6.1f}s", flush=True)
     for k, dt in _median_time(fns, n=args.reps).items():
         print(f"  {k}: {dt * 1e3:8.1f} ms/frame = {1 / dt:5.2f} fps", flush=True)
 

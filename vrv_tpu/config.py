@@ -140,6 +140,18 @@ class RenderConfig:
     # the direct term and the (1-w) complement). Gates:
     # tests/test_inkernel_nee.py::test_nee_record_pdf_*.
     pallas_nee_record_pdf: bool = True
+    # in-kernel RADIANCE: the fused path kernel additionally resolves the
+    # hit material key (t_mat*256 + texel), the scatter-branch code, the
+    # emission cosine, the spdf/rpdf ratio, and every NEE direct-term
+    # factor (w, cos_x/pi, geo with visibility folded in, e_y from the
+    # static light emissive palettes) — the XLA side collapses to ONE
+    # packed-atlas row fetch per bounce + the exact accumulation chain,
+    # instead of the full resolve/shade replay over ~40 record arrays
+    # (the 93 ms of XLA glue the round-5 roofline names; docs/PERF.md).
+    # Value-identical to the replay path (formula order mirrored; gates:
+    # tests/test_inkernel_radiance.py). Requires Scene.light_em when
+    # lights are on; falls back to the replay otherwise. A/B knob.
+    pallas_inkernel_radiance: bool = True
     # convert/select-lean march body (ops/pallas/trace_proc.py): VALUE-
     # identical rewrites of the per-step math chosen from measured v5e VPU
     # op costs (tools/vpu_probe.py: f32<->i32 converts and selects cost

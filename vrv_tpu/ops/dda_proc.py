@@ -79,9 +79,20 @@ class ProcStatic(NamedTuple):
     lambert_only: bool = False
     # True when every edit block is air or opaque-lambert (so translucent
     # == ~solid still holds and the fused kernel's in-kernel cosine
-    # scatter stays correct). Glass/mirror edits set this False and the
-    # renderer falls back to the staged per-bounce kernels.
+    # scatter stays correct). Glass edits set this False.
     edits_lambert: bool = True
+    # Constant-material OPAQUE non-lambert blocks reachable via edits:
+    # ((block_id, (metal_f0..metal_f5)), ...) — per-face constant
+    # metallicity with alpha == 1 everywhere (the mirror class, incl. the
+    # DEFAULT placed block, quirk Q7). The fused kernel's retire branches
+    # the scatter on these constants (reflect vs cosine), so mirror
+    # placements stay on the fast path; translucent == ~solid still
+    # holds (opaque). Glass (texel-varying alpha, translucent) is not in
+    # this class.
+    edit_mats: tuple = ()
+    # True when the fused path kernel can carry the current edit set:
+    # every edited-in block is air, opaque-lambert, or in edit_mats.
+    edits_fused: bool = True
     # Static tuple of opaque-lambert block ids placeable by edits —
     # extends the fused path's one-hot texel set beyond grass/stone
     # (render/megakernel.py tex_set).

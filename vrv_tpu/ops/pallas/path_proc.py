@@ -74,8 +74,8 @@ _2PI = float(2.0 * np.pi)
 
 def _face_consts():
     """Per-face frame constants as python float lists (selected in-kernel
-    with 6-way wheres — shade._FACE_CONST's rows, minus the uv tables the
-    kernel doesn't need)."""
+    with 6-way wheres — shade._FACE_CONST's rows; cu/cv are the per-face
+    uv affine tables the in-kernel-radiance retire path needs)."""
     from vrv_tpu.ops import dda
 
     return dict(
@@ -85,7 +85,26 @@ def _face_consts():
         bit0=dda.FACE_BITANGENTS[:, 0].tolist(),
         bit1=dda.FACE_BITANGENTS[:, 1].tolist(),
         axes=dda.FACE_PLANE_AXES.tolist(),
+        cu=dda.FACE_U_AFFINE.tolist(),
+        cv=dda.FACE_V_AFFINE.tolist(),
     )
+
+
+def _const_f32_tree(vals, idx):
+    """Select vals[idx] per lane from compile-time constant floats — the
+    f32 sibling of trace_proc._const_word_tree (binary select tree,
+    len(vals)-1 vector selects, zero memory traffic)."""
+
+    def sel(base, m):
+        if m == 0:
+            v = vals[base] if base < len(vals) else 0.0
+            return jnp.float32(v)
+        half = 1 << (m - 1)
+        b = (idx >> (m - 1)) & 1
+        return jnp.where(b == 1, sel(base + half, m - 1), sel(base, m - 1))
+
+    nbits = max(1, (len(vals) - 1).bit_length())
+    return sel(0, nbits)
 
 
 def _sel_face(face, vals):
@@ -125,7 +144,7 @@ def _path_kernel(
     *refs,
     ps, t_min, t_max, n_bounces, unroll, coarse, retire_cond=True, n_inst=0,
     inst_mat=None, step_cap=0, has_done=False, n_lights=0, nee_pdf=False,
-    opt=False,
+    opt=False, rad=None,
 ):
     """n_lights > 0 enables IN-KERNEL split NEE: after each non-last
     lambert hit the lane samples a light from the flat list (SMEM rows,
@@ -150,11 +169,17 @@ def _path_kernel(
     tiny = f32(1e-12)
     E = ps.n_edits
 
+    from vrv_tpu.ops.pallas.trace_proc import EDIT_GATE_MIN
+
+    gate = E > EDIT_GATE_MIN
     k = 0
     if E:
         ek_ref, ef_ref = refs[0], refs[1]
         edits = _edit_overrides(ek_ref, ef_ref, E)
         k = 2
+        if gate:
+            ebox_ref = refs[2]
+            k = 3
     if n_inst:
         iv_ref = refs[k]
         k += 1
@@ -167,13 +192,14 @@ def _path_kernel(
         ]
         inst_alpha_words, inst_metal = inst_mat
     if n_lights:
-        # flat light list rows (SMEM, read once): [v0(3)|v1(3)|v2(3)|power]
-        # — the same padded arrays ops/nee.sample_light_flat consumes, so
-        # in-kernel importance/selection matches the XLA sampler's values
+        # flat light list rows (SMEM, read once):
+        # [v0(3)|v1(3)|v2(3)|power|area|tex|uv(6)] — the same padded
+        # arrays ops/nee.sample_light_flat consumes, so in-kernel
+        # importance/selection matches the XLA sampler's values
         lv_ref = refs[k]
         k += 1
         light_rows = [
-            [lv_ref[j * 10 + c] for c in range(10)] for j in range(n_lights)
+            [lv_ref[j * 18 + c] for c in range(18)] for j in range(n_lights)
         ]
         # per-light centroids (loop-invariant scalar math)
         light_ctr = [
@@ -255,10 +281,13 @@ def _path_kernel(
                 out[c] = jnp.where(m, inst_rows[j][c], out[c])
         return out
 
-    def solid_at(cx, cy, cz, inside):
-        # eligibility (edits_lambert, checked by trace_path_pallas)
-        # guarantees every edit block is air or opaque-lambert, so
-        # translucent == ~solid holds and the solid override suffices
+    def solid_at(cx, cy, cz, inside, use_edits=True):
+        # eligibility (edits_fused, checked by trace_path_pallas)
+        # guarantees every edit block is air or OPAQUE (lambert or
+        # edit_mats constant-material), so translucent == ~solid holds
+        # and the solid override suffices. use_edits=False compiles the
+        # pure-worldgen form for the per-chunk edit gate (legal only when
+        # no edit cell is reachable from the chunk)
         wx = cx.astype(f32) + gox
         wy = cy.astype(f32) + goy
         wz = cz.astype(f32) + goz
@@ -268,7 +297,7 @@ def _path_kernel(
             - wy * inv_falloff
         )
         s = dens > thr
-        if E:
+        if E and use_edits:
             s, _, _ = _apply_edits(cx, cy, cz, s, edits)
         return s & inside
 
@@ -336,19 +365,34 @@ def _path_kernel(
 
     zf = jnp.zeros_like(ox0)
     zi = jnp.zeros_like(cx)
-    # per-bounce output accumulators
-    out_t = [zf for _ in range(B)]
-    out_packed = [zi for _ in range(B)]
-    out_d = [(zf, zf, zf) for _ in range(B - 1)]  # dirs for bounces 1..B-1
-    # instance-hit records per bounce: (prim or -1, bary u, bary v)
-    out_i = [(zi - 1, zf, zf) for _ in range(B)] if n_inst else []
-    # in-kernel NEE records per non-last bounce: (light idx or -1, vis),
-    # plus (chosen importance, selection total W) when nee_pdf — recording
-    # them lets the XLA direct term skip the whole (n, L) importance
-    # recompute (it only needs the CHOSEN light's features + these two
-    # scalars for the pdf bookkeeping)
-    s_extra = (zf, zf) if nee_pdf else ()
-    out_s = [(zi - 1, zi) + s_extra for _ in range(B - 1)] if n_lights else []
+    if rad is not None:
+        # in-kernel RADIANCE records (docs/PERF.md round-5): per bounce
+        # (code = hit | branch<<1 | (t_mat*256+texel)<<3, cos_in,
+        # spdf/rpdf ratio); per non-last bounce with lights
+        # (w, cos_x/pi, geo [vis- and ok-folded], e_y rgb). The XLA side
+        # reduces to one packed-atlas row fetch per bounce + the exact
+        # accumulation chain — no TraceResult assembly, no resolve/shade.
+        out_r = [(zi, zf, zf) for _ in range(B)]
+        out_n = [(zf, zf, zf, zf, zf, zf) for _ in range(B - 1)] \
+            if n_lights else []
+        recs0 = (tuple(out_r), tuple(out_n))
+    else:
+        # per-bounce output accumulators (trace-record mode)
+        out_t = [zf for _ in range(B)]
+        out_packed = [zi for _ in range(B)]
+        out_d = [(zf, zf, zf) for _ in range(B - 1)]  # dirs, bounces 1..B-1
+        # instance-hit records per bounce: (prim or -1, bary u, bary v)
+        out_i = [(zi - 1, zf, zf) for _ in range(B)] if n_inst else []
+        # in-kernel NEE records per non-last bounce: (light idx or -1,
+        # vis), plus (chosen importance, selection total W) when nee_pdf —
+        # recording them lets the XLA direct term skip the whole (n, L)
+        # importance recompute (it only needs the CHOSEN light's features
+        # + these two scalars for the pdf bookkeeping)
+        s_extra = (zf, zf) if nee_pdf else ()
+        out_s = [(zi - 1, zi) + s_extra for _ in range(B - 1)] \
+            if n_lights else []
+        recs0 = (tuple(out_t), tuple(out_packed), tuple(out_d),
+                 tuple(out_i), tuple(out_s))
 
     if n_inst:
         ihit0, it0, ij0, iu0, iv0 = inst_intersect(
@@ -372,8 +416,7 @@ def _path_kernel(
         cur_solid.astype(i32), mhit.astype(i32), mdead.astype(i32),
         t, face, hx, hy, hz, entering.astype(i32),
         inst_st, sh_st, sc0,
-        tuple(out_t), tuple(out_packed), tuple(out_d), tuple(out_i),
-        tuple(out_s),
+        recs0,
         jnp.int32(0),                           # chunk counter
     )
 
@@ -390,10 +433,10 @@ def _path_kernel(
     def cond(s):
         return (jnp.min(s[0]) < B) & (s[-1] < max_chunks)
 
-    def march_step(s):
+    def march_step(s, use_edits=True):
         (pbounce, ox, oy, oz, dx, dy, dz, ix, iy, iz, scx, scy, scz,
          cur_solid_i, mhit_i, mdead_i, t, face, hx, hy, hz, entering_i,
-         inst_st, sh_st, sc_st, o_t, o_p, o_d, o_i, o_s, chunks) = s
+         inst_st, sh_st, sc_st, recs, chunks) = s
         cur_solid = cur_solid_i != 0
         mhit = mhit_i != 0
         mdead = mdead_i != 0
@@ -428,7 +471,7 @@ def _path_kernel(
         ny = jnp.where(can_skip, ky, ey_)
         nz = jnp.where(can_skip, kz, ez_)
         inside = (can_skip & skip_inside) | (~can_skip & inside_exact)
-        new_solid = solid_at(nx, ny, nz, inside & marching)
+        new_solid = solid_at(nx, ny, nz, inside & marching, use_edits)
 
         entering_hit = new_solid & ~cur_solid & ~can_skip
         exiting_hit = cur_solid & ~new_solid & ~can_skip
@@ -500,13 +543,17 @@ def _path_kernel(
             jnp.where(rec, jnp.where(entering_hit, ny, scy), hy),
             jnp.where(rec, jnp.where(entering_hit, nz, scz), hz),
             ((rec & entering_hit) | (~rec & entering)).astype(i32),
-            inst_st, sh_st, sc_st, o_t, o_p, o_d, o_i, o_s, chunks,
+            inst_st, sh_st, sc_st, recs, chunks,
         )
 
     def retire(s):
         (pbounce, ox, oy, oz, dx, dy, dz, ix, iy, iz, scx, scy, scz,
          cur_solid_i, mhit_i, mdead_i, t, face, hx, hy, hz, entering_i,
-         inst_st, sh_st, sc_st, o_t, o_p, o_d, o_i, o_s, chunks) = s
+         inst_st, sh_st, sc_st, recs, chunks) = s
+        if rad is not None:
+            o_r, o_n = list(recs[0]), list(recs[1])
+        else:
+            o_t, o_p, o_d, o_i, o_s = (list(r) for r in recs)
         mhit = mhit_i != 0
         mdead = mdead_i != 0
         entering = entering_i != 0
@@ -543,37 +590,44 @@ def _path_kernel(
             occl = mhit & (t < stc)
             if n_inst:
                 occl = occl | (ihit & (it_ < stc))
-            svis = (~occl).astype(i32)
-            o_s = list(o_s)
-            for b in range(B - 1):
-                selv = sh_res & (pbounce == b)
-                sb = o_s[b]
-                o_s[b] = (sb[0], jnp.where(selv, svis, sb[1])) + sb[2:]
+            if rad is not None:
+                # vis folds into the recorded geo: an occluded shadow
+                # zeroes the direct term exactly like the XLA path's
+                # `direct * vis3` (all factors finite and >= 0)
+                for b in range(B - 1):
+                    selv = sh_res & (pbounce == b)
+                    nw, ncx, ngeo, ne0, ne1, ne2 = o_n[b]
+                    o_n[b] = (nw, ncx,
+                              jnp.where(selv & occl, f32(0.0), ngeo),
+                              ne0, ne1, ne2)
+            else:
+                svis = (~occl).astype(i32)
+                for b in range(B - 1):
+                    selv = sh_res & (pbounce == b)
+                    sb = o_s[b]
+                    o_s[b] = (sb[0], jnp.where(selv, svis, sb[1])) + sb[2:]
 
-        packed = (
-            vox_hit.astype(i32)
-            | (entering.astype(i32) << 1)
-            | (face << 2)
-            | (hx << 5)
-            | (hy << 14)
-            | (hz << 23)
-        )
-        o_t = list(o_t)
-        o_p = list(o_p)
-        o_d = list(o_d)
-        o_i = list(o_i)
-        for b in range(B):
-            sel = path_res & (pbounce == b)
-            o_t[b] = jnp.where(sel, t_fin, o_t[b])
-            o_p[b] = jnp.where(sel, packed, o_p[b])
-            if n_inst:
-                rp, ru, rv = o_i[b]
-                selw = sel & inst_wins
-                o_i[b] = (
-                    jnp.where(selw, ij_, rp),
-                    jnp.where(selw, iu_, ru),
-                    jnp.where(selw, iv_, rv),
-                )
+        if rad is None:
+            packed = (
+                vox_hit.astype(i32)
+                | (entering.astype(i32) << 1)
+                | (face << 2)
+                | (hx << 5)
+                | (hy << 14)
+                | (hz << 23)
+            )
+            for b in range(B):
+                sel = path_res & (pbounce == b)
+                o_t[b] = jnp.where(sel, t_fin, o_t[b])
+                o_p[b] = jnp.where(sel, packed, o_p[b])
+                if n_inst:
+                    rp, ru, rv = o_i[b]
+                    selw = sel & inst_wins
+                    o_i[b] = (
+                        jnp.where(selw, ij_, rp),
+                        jnp.where(selw, iu_, ru),
+                        jnp.where(selw, iv_, rv),
+                    )
 
         # --- sample the next bounce for resolved HITS (voxel hits are
         # statically lambert; instance hits branch on their per-triangle
@@ -711,19 +765,48 @@ def _path_kernel(
             hpy = jnp.where(inst_wins, ipy, hpy)
             hpz = jnp.where(inst_wins, ipz, hpz)
 
+        EM = tuple(ps.edit_mats) if E else ()
+        if EM:
+            # --- edited-cell constant-material scatter (mirror class):
+            # the hit cell's edit block selects per-face constant
+            # metallicity (alpha == 1 by eligibility), and draw slot 0
+            # branches reflect-vs-cosine exactly like shade_resolved does
+            # with the fetched (constant) metallicity texel — so placing
+            # the DEFAULT mirror block (quirk Q7) keeps the fused path ---
+            keyh0 = (hx << 20) | (hy << 10) | hz
+            metal_v = jnp.zeros_like(ox)
+            for e in range(E):
+                mi_e = keyh0 == edits[0][e]
+                for blk_id, mets in EM:
+                    mb = mi_e & (edits[3][e] == blk_id)
+                    metal_v = jnp.where(
+                        mb, _sel_face(face, list(mets)), metal_v
+                    )
+            r0v = _draw(seed_b, 0)
+            vmirror = vox_hit & (r0v < metal_v)
+            # intersect.reflect order: d - 2*dot(n, d)*n (face normal)
+            vdot = (nx_ * dx + ny_ * dy) + nz_ * dz
+            ndx = jnp.where(vmirror, dx - 2.0 * vdot * nx_, ndx)
+            ndy = jnp.where(vmirror, dy - 2.0 * vdot * ny_, ndy)
+            ndz = jnp.where(vmirror, dz - 2.0 * vdot * nz_, ndz)
+        else:
+            vmirror = None
+
         if n_lights:
             # shading normal at the resolved hit (instance override when
             # the instance won) — the light sampler's hemisphere
+            vox_lam = vox_hit if vmirror is None else (vox_hit & ~vmirror)
             if n_inst:
                 nsx = jnp.where(inst_wins, inx, nx_)
                 nsy = jnp.where(inst_wins, iny, ny_)
                 nsz = jnp.where(inst_wins, inz, nz_)
                 lam = advance & (
-                    vox_hit | (inst_wins & ~is_mirror & ~is_trans)
+                    vox_lam | (inst_wins & ~is_mirror & ~is_trans)
                 )
             else:
                 nsx, nsy, nsz = nx_, ny_, nz_
-                lam = advance
+                lam = advance & (vox_lam | ~vox_hit) \
+                    if vmirror is not None else advance
 
             # --- flat light sampling: EXACTLY ops/nee.sample_light_flat's
             # importance math and draw slots 7/8/9 (formula order mirrored
@@ -766,14 +849,15 @@ def _path_kernel(
             found = jnp.zeros(hpx.shape, bool)
             lidx = jnp.full_like(pbounce, -1)
             impc = jnp.zeros_like(hpx)
-            cs = [jnp.zeros_like(hpx) for _ in range(9)]
+            n_cs = 18 if rad is not None else 9
+            cs = [jnp.zeros_like(hpx) for _ in range(n_cs)]
             for j in range(n_lights):
                 imp_j = imps[j]
                 cum = cum + imp_j
                 pick = (~found) & (cum > rW)
                 lidx = jnp.where(pick, i32(j), lidx)
                 impc = jnp.where(pick, imp_j, impc)
-                for c in range(9):
+                for c in range(n_cs):
                     cs[c] = jnp.where(pick, light_rows[j][c], cs[c])
                 found = found | pick
 
@@ -796,42 +880,209 @@ def _path_kernel(
                 found & (impc > 0.0) & (sdist > f32(1e-6)) & (cosx_ > 0.0)
             )
             launch = lam & has_s
-            # record the chosen index whenever a light was selected (the
-            # XLA side recomputes w from it, matching the pure-XLA split
-            # estimator's weight even where the direct term is zero and no
-            # shadow ray marches, e.g. cos_x <= 0); vis defaults to 1 for
-            # unmarched lanes — their direct term is zero by the XLA
-            # validity mask, so the bit never matters
-            recorded = found & (impc > 0.0)
-            for b in range(B - 1):
-                seli = advance & (pbounce == b)
-                sb = o_s[b]
-                rec_b = (
-                    jnp.where(seli, jnp.where(recorded, lidx, -1), sb[0]),
-                    jnp.where(seli & ~launch, 1, sb[1]),
+            if rad is not None:
+                # --- in-kernel-radiance NEE records: everything the XLA
+                # direct term needs EXCEPT the hit reflectivity texel,
+                # with formula order mirroring ops/nee.sample_light_flat
+                # + ops/shade.shade_resolved exactly ---
+                r_scale, r_clamp, r_gain = rad[0], rad[1], rad[2]
+                light_em = rad[3]
+                carea = cs[10]
+                ltex = cs[11]
+                # chosen-triangle normal + cos_light (sample_light_flat)
+                le1x, le1y, le1z = cs[3] - cs[0], cs[4] - cs[1], cs[5] - cs[2]
+                le2x, le2y, le2z = cs[6] - cs[0], cs[7] - cs[1], cs[8] - cs[2]
+                lnx = le1y * le2z - le1z * le2y
+                lny = le1z * le2x - le1x * le2z
+                lnz = le1x * le2y - le1y * le2x
+                lnn = jnp.maximum(
+                    jnp.sqrt((lnx * lnx + lny * lny) + lnz * lnz), f32(1e-30)
                 )
-                if nee_pdf:
-                    # pdf record: the chosen light's importance and the
-                    # selection total — exactly sample_light_flat's imp_c
-                    # and W (same summation order), so consuming them in
-                    # XLA is bit-identical to the recompute (unselected
-                    # rows record imp_c = 0 -> w = 0, valid = False, the
-                    # same terminal values the all-false one-hot yields)
-                    rec_b = rec_b + (
-                        jnp.where(seli, jnp.where(recorded, impc, f32(0.0)),
-                                  sb[2]),
-                        jnp.where(seli, W, sb[3]),
+                lnx, lny, lnz = lnx / lnn, lny / lnn, lnz / lnn
+                cos_l = -((sdx_ * lnx + sdy_ * lny) + sdz_ * lnz)
+                w_ls = jnp.clip(impc / f32(r_scale), 0.0, f32(r_clamp))
+                lvalid = (
+                    (impc > 0.0) & (w_ls > 0.0) & (cos_l > 0.0)
+                    & (sdist > f32(1e-6)) & (carea > 0.0)
+                )
+                # bitwise select: Mosaic rejects select_n on i1 vectors
+                lsw = jnp.where(lvalid, w_ls, f32(0.0))
+                w_rec = jnp.where(lam, lsw, f32(0.0))
+                ok_ = lvalid & lam & (cosx_ > 0.0)
+                inv_pdf = (carea * W) / jnp.maximum(impc, f32(1e-30))
+                geo = (cos_l * inv_pdf) / jnp.maximum(
+                    sdist * sdist, f32(1e-12)
+                )
+                geo_rec = jnp.where(ok_, geo, f32(0.0))
+                cxp_rec = cosx_ / f32(np.pi)
+                # light emission texel from the sampled uv via the static
+                # per-texture emissive palette (Scene.light_em): e_y =
+                # (gain * te) * cos_l — the one fetch shade_resolved did
+                # for the direct term, now a constant select tree
+                uvy_u = (b0_ * cs[12] + b1_ * cs[14]) + b2_ * cs[16]
+                uvy_v = (b0_ * cs[13] + b1_ * cs[15]) + b2_ * cs[17]
+                ltx = jnp.clip((uvy_u * 16.0).astype(i32), 0, 15)
+                lty = jnp.clip((uvy_v * 16.0).astype(i32), 0, 15)
+                ltexel = lty * 16 + ltx
+                ter = jnp.zeros_like(hpx)
+                teg = jnp.zeros_like(hpx)
+                teb = jnp.zeros_like(hpx)
+                for members, widx, pal in light_em:
+                    mg = None
+                    for mid in members:
+                        mm = ltex == f32(mid)
+                        mg = mm if mg is None else (mg | mm)
+                    pword = _const_word_tree(widx, ltexel >> 2)
+                    pidx = (pword >> (8 * (ltexel & 3))) & 0xFF
+                    ter = jnp.where(
+                        mg, _const_f32_tree([p[0] for p in pal], pidx), ter)
+                    teg = jnp.where(
+                        mg, _const_f32_tree([p[1] for p in pal], pidx), teg)
+                    teb = jnp.where(
+                        mg, _const_f32_tree([p[2] for p in pal], pidx), teb)
+                ey0 = (f32(r_gain) * ter) * cos_l
+                ey1 = (f32(r_gain) * teg) * cos_l
+                ey2 = (f32(r_gain) * teb) * cos_l
+                for b in range(B - 1):
+                    seli = advance & (pbounce == b)
+                    nw, ncx, ngeo, ne0, ne1, ne2 = o_n[b]
+                    o_n[b] = (
+                        jnp.where(seli, w_rec, nw),
+                        jnp.where(seli, cxp_rec, ncx),
+                        jnp.where(seli, geo_rec, ngeo),
+                        jnp.where(seli, ey0, ne0),
+                        jnp.where(seli, ey1, ne1),
+                        jnp.where(seli, ey2, ne2),
                     )
-                o_s[b] = rec_b
+            else:
+                # record the chosen index whenever a light was selected
+                # (the XLA side recomputes w from it, matching the
+                # pure-XLA split estimator's weight even where the direct
+                # term is zero and no shadow ray marches, e.g.
+                # cos_x <= 0); vis defaults to 1 for unmarched lanes —
+                # their direct term is zero by the XLA validity mask, so
+                # the bit never matters
+                recorded = found & (impc > 0.0)
+                for b in range(B - 1):
+                    seli = advance & (pbounce == b)
+                    sb = o_s[b]
+                    rec_b = (
+                        jnp.where(seli, jnp.where(recorded, lidx, -1), sb[0]),
+                        jnp.where(seli & ~launch, 1, sb[1]),
+                    )
+                    if nee_pdf:
+                        # pdf record: the chosen light's importance and the
+                        # selection total — exactly sample_light_flat's
+                        # imp_c and W (same summation order), so consuming
+                        # them in XLA is bit-identical to the recompute
+                        # (unselected rows record imp_c = 0 -> w = 0,
+                        # valid = False, the same terminal values the
+                        # all-false one-hot yields)
+                        rec_b = rec_b + (
+                            jnp.where(seli,
+                                      jnp.where(recorded, impc, f32(0.0)),
+                                      sb[2]),
+                            jnp.where(seli, W, sb[3]),
+                        )
+                    o_s[b] = rec_b
 
-        for b in range(1, B):
-            sel = advance & (pbounce == b - 1)
-            odx, ody, odz = o_d[b - 1]
-            o_d[b - 1] = (
-                jnp.where(sel, ndx, odx),
-                jnp.where(sel, ndy, ody),
-                jnp.where(sel, ndz, odz),
+        if rad is not None:
+            # --- per-bounce radiance records (code, cos_in, spdf/rpdf) ---
+            r_inst_ids = rad[4]
+            # voxel uv via the per-face affine tables (shade.resolve_hit:
+            # u = cu0 + ((cu1*fx + cu2*fy) + cu3*fz))
+            def _affine(key):
+                c0 = _sel_face(face, [fc[key][f][0] for f in range(6)])
+                c1 = _sel_face(face, [fc[key][f][1] for f in range(6)])
+                c2 = _sel_face(face, [fc[key][f][2] for f in range(6)])
+                c3 = _sel_face(face, [fc[key][f][3] for f in range(6)])
+                return c0 + ((c1 * frx + c2 * fry) + c3 * frz)
+
+            u_v = _affine("cu")
+            v_v = _affine("cv")
+            vtx = jnp.clip((u_v * 16.0).astype(i32), 0, 15)
+            vty = jnp.clip((v_v * 16.0).astype(i32), 0, 15)
+            texel_v = vty * 16 + vtx
+            # hit block id: worldgen grass/stone via the above-cell
+            # density (dda_proc._hit_blocks: pure worldgen, DIVISION form,
+            # no edit override on the above cell) + edit override at the
+            # hit cell itself
+            s_ = f32(ps.noise_scale)
+            wxh = hx.astype(f32) + gox
+            wyh = hy.astype(f32) + goy
+            wzh = hz.astype(f32) + goz
+            dens_above = _simplex3_seeded(
+                wxh / s_, (wyh + 1.0) / s_, wzh / s_, seed_mix, opt=opt
+            ) - (wyh + 1.0) / f32(ps.y_falloff)
+            above = dens_above > thr
+            blk = jnp.where(above, i32(ps.stone), i32(ps.grass))
+            if E:
+                keyh = (hx << 20) | (hy << 10) | hz
+                ed_m = jnp.zeros(hx.shape, bool)
+                ed_b = jnp.zeros_like(blk)
+                for e in range(E):
+                    mi = keyh == edits[0][e]
+                    ed_m = ed_m | mi
+                    ed_b = jnp.where(mi, edits[3][e], ed_b)
+                blk = jnp.where(ed_m, ed_b, blk)
+            tmat = blk * 6 + face
+            texel_r = texel_v
+            br_code = jnp.zeros_like(face)
+            if vmirror is not None:
+                br_code = jnp.where(vmirror, 1, br_code)
+            if n_inst:
+                tid_i = jnp.zeros_like(face)
+                for si, t_id in enumerate(r_inst_ids):
+                    tid_i = jnp.where(texslot == si, i32(int(t_id)), tid_i)
+                tmat = jnp.where(inst_wins, tid_i, tmat)
+                texel_r = jnp.where(inst_wins, texel, texel_r)
+                br_code = jnp.where(
+                    inst_wins & is_mirror, 1,
+                    jnp.where(inst_wins & is_trans, 2, br_code),
+                )
+            hitb = vox_hit | inst_wins
+            code = jnp.where(
+                hitb,
+                hitb.astype(i32) | (br_code << 1)
+                | ((tmat * 256 + texel_r) << 3),
+                0,
             )
+            # cos_in = -dot(direction, shading normal) (shade_resolved's
+            # emissivity cosine; instance normal when the instance won)
+            if n_inst:
+                nrx = jnp.where(inst_wins, inx, nx_)
+                nry = jnp.where(inst_wins, iny, ny_)
+                nrz = jnp.where(inst_wins, inz, nz_)
+            else:
+                nrx, nry, nrz = nx_, ny_, nz_
+            cosin = -((dx * nrx + dy * nry) + dz * nrz)
+            # spdf/rpdf ratio: cos_theta of the cosine-sampled NEW dir
+            # over itself (shade_resolved's literal reference arithmetic —
+            # NaN at cos 0, exactly like the XLA path)
+            ct = (ndx * nx_ + ndy * ny_) + ndz * nz_
+            if n_inst:
+                ct = jnp.where(
+                    inst_wins, (ldx * inx + ldy * iny) + ldz * inz, ct
+                )
+            ctp = ct / f32(np.pi)
+            sr_rec = ctp / ctp
+            for b in range(B):
+                selr = path_res & (pbounce == b)
+                rc, rci, rsr = o_r[b]
+                o_r[b] = (
+                    jnp.where(selr, code, rc),
+                    jnp.where(selr, cosin, rci),
+                    jnp.where(selr, sr_rec, rsr),
+                )
+        else:
+            for b in range(1, B):
+                sel = advance & (pbounce == b - 1)
+                odx, ody, odz = o_d[b - 1]
+                o_d[b - 1] = (
+                    jnp.where(sel, ndx, odx),
+                    jnp.where(sel, ndy, ody),
+                    jnp.where(sel, ndz, odz),
+                )
 
         # --- transition ---
         # without lights: advance lanes re-init at the hit point with the
@@ -924,13 +1175,49 @@ def _path_kernel(
             merge_b(ient, entering & ~resolved).astype(i32),
             n_inst_st, n_sh_st,
             tuple(merge_f(a, b) for a, b in zip(isc, sc_st)),
-            tuple(o_t), tuple(o_p), tuple(o_d), tuple(o_i), tuple(o_s),
+            (tuple(o_r), tuple(o_n)) if rad is not None else
+            (tuple(o_t), tuple(o_p), tuple(o_d), tuple(o_i), tuple(o_s)),
             chunks,
         )
 
-    def body(s):
+    def _chunk(s, use_edits):
         for _ in range(max(1, unroll)):
-            s = march_step(s)
+            s = march_step(s, use_edits)
+        return s
+
+    if gate:
+        # per-chunk edit gate (E > EDIT_GATE_MIN, see trace_proc): the
+        # march pays the O(E) per-step compare only in chunks whose lanes
+        # can reach the edit-set AABB; retire (1 eval per chunk) keeps
+        # edits unconditionally — its re-init cell and the hit-material
+        # compares must stay exact everywhere
+        assert coarse is None, "edit gate assumes no baked coarse skips"
+        _exmin, _exmax = ebox_ref[0], ebox_ref[1]
+        _eymin, _eymax = ebox_ref[2], ebox_ref[3]
+        _ezmin, _ezmax = ebox_ref[4], ebox_ref[5]
+        _m = jnp.int32(max(1, unroll) + 1)
+
+        def _gated_chunk(s):
+            scx, scy, scz = s[10], s[11], s[12]
+            near = (
+                (jnp.min(scx) <= _exmax + _m) & (jnp.max(scx) >= _exmin - _m)
+                & (jnp.min(scy) <= _eymax + _m)
+                & (jnp.max(scy) >= _eymin - _m)
+                & (jnp.min(scz) <= _ezmax + _m)
+                & (jnp.max(scz) >= _ezmin - _m)
+            )
+            return jax.lax.cond(
+                near,
+                lambda ss: _chunk(ss, True),
+                lambda ss: _chunk(ss, False),
+                s,
+            )
+    else:
+        def _gated_chunk(s):
+            return _chunk(s, True)
+
+    def body(s):
+        s = _gated_chunk(s)
         # retire is the identity when nothing resolved this chunk, and in
         # the tail (a few long rays marching) most chunks resolve nothing
         # — gate the whole retire (sampling + re-init incl. a noise eval)
@@ -951,28 +1238,40 @@ def _path_kernel(
         return s[:-1] + (s[-1] + 1,)
 
     s = jax.lax.while_loop(cond, body, state)
-    o_t, o_p, o_d, o_i, o_s = s[-6], s[-5], s[-4], s[-3], s[-2]
+    recs = s[-2]
     k = 0
-    for b in range(B):
-        out_refs[k][:] = o_p[b]
-        out_refs[k + 1][:] = o_t[b]
-        k += 2
-    for b in range(B - 1):
-        odx, ody, odz = o_d[b]
-        out_refs[k][:] = odx
-        out_refs[k + 1][:] = ody
-        out_refs[k + 2][:] = odz
-        k += 3
-    for b in range(B) if n_inst else []:
-        rp, ru, rv = o_i[b]
-        out_refs[k][:] = rp
-        out_refs[k + 1][:] = ru
-        out_refs[k + 2][:] = rv
-        k += 3
-    for b in range(B - 1) if n_lights else []:
-        for v in o_s[b]:
-            out_refs[k][:] = v
-            k += 1
+    if rad is not None:
+        o_r, o_n = recs
+        for b in range(B):
+            for v in o_r[b]:
+                out_refs[k][:] = v
+                k += 1
+        for b in range(B - 1) if n_lights else []:
+            for v in o_n[b]:
+                out_refs[k][:] = v
+                k += 1
+    else:
+        o_t, o_p, o_d, o_i, o_s = recs
+        for b in range(B):
+            out_refs[k][:] = o_p[b]
+            out_refs[k + 1][:] = o_t[b]
+            k += 2
+        for b in range(B - 1):
+            odx, ody, odz = o_d[b]
+            out_refs[k][:] = odx
+            out_refs[k + 1][:] = ody
+            out_refs[k + 2][:] = odz
+            k += 3
+        for b in range(B) if n_inst else []:
+            rp, ru, rv = o_i[b]
+            out_refs[k][:] = rp
+            out_refs[k + 1][:] = ru
+            out_refs[k + 2][:] = rv
+            k += 3
+        for b in range(B - 1) if n_lights else []:
+            for v in o_s[b]:
+                out_refs[k][:] = v
+                k += 1
     # final pbounce: >= B iff the lane resolved all its bounces (pass-1
     # completion mask for the tail restart)
     out_refs[k][:] = s[0]
@@ -982,13 +1281,14 @@ def _path_kernel(
     jax.jit,
     static_argnames=("ps", "t_min", "t_max", "n_bounces", "interpret",
                      "unroll", "coarse", "hw", "retire_cond", "n_inst",
-                     "inst_mat", "step_cap", "n_lights", "nee_pdf", "opt"),
+                     "inst_mat", "step_cap", "n_lights", "nee_pdf", "opt",
+                     "rad"),
 )
 def _path_pallas_flat(ps, o, d, seeds, edit_args, t_min, t_max, n_bounces,
                       interpret=False, unroll=1, coarse=None, hw=None,
                       retire_cond=True, inst_args=(), n_inst=0, inst_mat=None,
                       step_cap=0, done=None, light_args=(), n_lights=0,
-                      nee_pdf=False, opt=False):
+                      nee_pdf=False, opt=False, rad=None):
     br = BLOCK_ROWS
     n = o.shape[0]
     B = n_bounces
@@ -1028,27 +1328,40 @@ def _path_pallas_flat(ps, o, d, seeds, edit_args, t_min, t_max, n_bounces,
     sd = prep(seeds)
     done_args = () if done is None else (prep(done.astype(jnp.int32)),)
 
-    s_words = (4 if nee_pdf else 2) if n_lights else 0
-    n_out = (2 * B + 3 * (B - 1) + (3 * B if n_inst else 0)
-             + s_words * (B - 1) + 1)
     out_shapes = []
-    for b in range(B):
-        out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))
-        out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.float32))
-    for b in range(B - 1):
-        for _ in range(3):
-            out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.float32))
-    for b in range(B) if n_inst else []:
-        out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))
-        out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.float32))
-        out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.float32))
-    for b in range(B - 1) if n_lights else []:
-        out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))
-        out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))
-        if nee_pdf:
+    if rad is not None:
+        # radiance records: per bounce (code i32, cos_in f32, sr f32);
+        # per non-last bounce with lights (w, cos_x/pi, geo, e_y rgb) f32
+        for b in range(B):
+            out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))
             out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.float32))
             out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.float32))
+        for b in range(B - 1) if n_lights else []:
+            for _ in range(6):
+                out_shapes.append(
+                    jax.ShapeDtypeStruct(out_shape2, jnp.float32))
+    else:
+        for b in range(B):
+            out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))
+            out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.float32))
+        for b in range(B - 1):
+            for _ in range(3):
+                out_shapes.append(
+                    jax.ShapeDtypeStruct(out_shape2, jnp.float32))
+        for b in range(B) if n_inst else []:
+            out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))
+            out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.float32))
+            out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.float32))
+        for b in range(B - 1) if n_lights else []:
+            out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))
+            out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))
+            if nee_pdf:
+                out_shapes.append(
+                    jax.ShapeDtypeStruct(out_shape2, jnp.float32))
+                out_shapes.append(
+                    jax.ShapeDtypeStruct(out_shape2, jnp.float32))
     out_shapes.append(jax.ShapeDtypeStruct(out_shape2, jnp.int32))  # pbounce
+    n_out = len(out_shapes)
 
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1059,7 +1372,7 @@ def _path_pallas_flat(ps, o, d, seeds, edit_args, t_min, t_max, n_bounces,
             unroll=unroll, coarse=coarse, retire_cond=retire_cond,
             n_inst=n_inst, inst_mat=inst_mat, step_cap=step_cap,
             has_done=done is not None, n_lights=n_lights, nee_pdf=nee_pdf,
-            opt=opt,
+            opt=opt, rad=rad,
         ),
         grid=grid,
         in_specs=(
@@ -1102,12 +1415,22 @@ def inst_smem_args(inst, tex_ids):
 
 
 def light_smem_args(flat):
-    """SMEM rows for in-kernel NEE: [v0(3)|v1(3)|v2(3)|power] per light
-    from the scene's flat light list (ops/nee.sample_light_flat's padded
-    arrays — pad rows have power 0 and are never selected)."""
+    """SMEM rows for in-kernel NEE:
+    [v0(3)|v1(3)|v2(3)|power|area|tex|uv0(2)|uv1(2)|uv2(2)] (18 floats)
+    per light from the scene's flat light list (ops/nee.sample_light_flat's
+    padded arrays — pad rows have power 0 and are never selected).
+    area/tex/uv feed the in-kernel-radiance direct term (pdf area +
+    emission texel); the plain in-kernel-NEE path reads only the first
+    10."""
     tri = flat["tri"].astype(jnp.float32)                  # (L, 3, 3)
     row = jnp.concatenate(
-        [tri.reshape(-1, 9), flat["power"].astype(jnp.float32)[:, None]],
+        [
+            tri.reshape(-1, 9),
+            flat["power"].astype(jnp.float32)[:, None],
+            flat["area"].astype(jnp.float32)[:, None],
+            flat["tex"].astype(jnp.float32)[:, None],
+            flat["uv"].astype(jnp.float32).reshape(-1, 6),
+        ],
         axis=1,
     )
     return (row.reshape(-1),)
@@ -1117,7 +1440,9 @@ def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
                       t_min=0.001, t_max=1000.0, pd=None, interpret=False,
                       unroll=None, hw=None, retire_cond=True, inst=None,
                       inst_static=None, step_cap=0, lights=None,
-                      nee_pdf=False, march_opt=True):
+                      nee_pdf=False, march_opt=True,
+                      radiance=False, light_em=None, nee_scale=10.0,
+                      nee_clamp=0.5, emission_gain=1000.0):
     """Trace a FULL path (n_bounces bounces) per ray in one kernel.
 
     Preconditions (caller-checked): worldgen scene whose edits are all
@@ -1155,11 +1480,11 @@ def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
     from vrv_tpu.ops.dda import TraceResult
     from vrv_tpu.ops.dda_proc import _hit_blocks, assemble
 
-    if ps.n_edits and not ps.edits_lambert:
+    if ps.n_edits and not ps.edits_fused:
         raise ValueError(
-            "path kernel requires air-or-opaque-lambert edits (the "
-            "in-kernel scatter is statically cosine-hemisphere); the "
-            "caller must fall back to the staged kernels")
+            "path kernel requires air, opaque-lambert, or constant-"
+            "material-opaque (ps.edit_mats) edits; the caller must fall "
+            "back to the staged kernels")
     shape = origin.shape[:-1]
     o = origin.reshape(-1, 3).astype(jnp.float32)
     d = direction.reshape(-1, 3).astype(jnp.float32)
@@ -1190,6 +1515,17 @@ def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
     if lights is not None and B > 1:
         n_lights = int(lights["tri"].shape[0])
         light_args = light_smem_args(lights)
+    rad = None
+    if radiance:
+        if n_lights and not light_em:
+            raise ValueError(
+                "in-kernel radiance with lights needs the static light "
+                "emissive palettes (Scene.light_em)")
+        rad = (
+            float(nee_scale), float(nee_clamp), float(emission_gain),
+            tuple(light_em) if (light_em and n_lights) else (),
+            tuple(int(t) for t in inst_static[0]) if n_inst else (),
+        )
     common = dict(
         interpret=interpret or _tp.INTERPRET,
         unroll=UNROLL if unroll is None else unroll,
@@ -1197,7 +1533,8 @@ def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
         hw=hw, retire_cond=retire_cond,
         inst_args=inst_args, n_inst=n_inst, inst_mat=inst_mat,
         light_args=light_args, n_lights=n_lights,
-        nee_pdf=bool(nee_pdf and n_lights),
+        nee_pdf=bool(nee_pdf and n_lights and not radiance),
+        rad=rad,
         opt=int(march_opt),
     )
     ea = edit_smem_args(ps, pd)
@@ -1225,6 +1562,24 @@ def trace_path_pallas(ps, origin, direction, seeds, n_bounces,
         ]
     else:
         outs = outs[:-1]
+    if radiance:
+        # radiance-record mode: (codes, cos_ins, srs, nee_recs) — the
+        # caller's XLA side is one packed-atlas row fetch per bounce plus
+        # the exact accumulation chain (render/megakernel.py)
+        codes, cosins, srs = [], [], []
+        k = 0
+        for b in range(B):
+            codes.append(outs[k].reshape(shape))
+            cosins.append(outs[k + 1].reshape(shape))
+            srs.append(outs[k + 2].reshape(shape))
+            k += 3
+        nrecs = None
+        if n_lights:
+            nrecs = []
+            for b in range(B - 1):
+                nrecs.append(tuple(x.reshape(shape) for x in outs[k:k + 6]))
+                k += 6
+        return codes, cosins, srs, nrecs
     pw = assemble(ps, pd)
     traces = []
     for b in range(B):

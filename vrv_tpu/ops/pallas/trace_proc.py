@@ -283,7 +283,8 @@ def _edit_overrides(ek_ref, ef_ref, n_edits):
     ekeys = [ek_ref[e] for e in range(n_edits)]
     esol = [ef_ref[e] & 1 for e in range(n_edits)]
     etl = [(ef_ref[e] >> 1) & 1 for e in range(n_edits)]
-    return ekeys, esol, etl
+    eblk = [(ef_ref[e] >> 2) & 0xFF for e in range(n_edits)]
+    return ekeys, esol, etl, eblk
 
 
 def _apply_edits(cx, cy, cz, wg_solid, edits):
@@ -292,7 +293,7 @@ def _apply_edits(cx, cy, cz, wg_solid, edits):
     wg_solid excludes the `inside` mask (applied by the caller after the
     solid override, matching dda_proc._make_occupancy's order)."""
     i32 = jnp.int32
-    ekeys, esol, etl = edits
+    ekeys, esol, etl = edits[:3]
     key = (cx << 20) | (cy << 10) | cz
     edited = jnp.zeros_like(cx)
     sol_i = jnp.zeros_like(cx)
@@ -346,7 +347,7 @@ def derive_y_cut(ps, edits, E):
         return None
     y_cut = jnp.int32(ps.y_air)
     if E:
-        ekeys, esol, _ = edits
+        ekeys, esol = edits[0], edits[1]
         for e in range(E):
             ey = (ekeys[e] >> 10) & 0x3FF
             y_cut = jnp.maximum(y_cut, jnp.where(esol[e] != 0, ey + 1, 0))
@@ -553,7 +554,12 @@ def _trace_kernel(
     seed_mix = _seed_mix(ps.seed)
     E = ps.n_edits
 
-    if E:
+    gate = E > EDIT_GATE_MIN
+    if E and gate:
+        (ek_ref, ef_ref, ebox_ref, ox_ref, oy_ref, oz_ref,
+         dx_ref, dy_ref, dz_ref, *rest) = refs
+        edits = _edit_overrides(ek_ref, ef_ref, E)
+    elif E:
         (ek_ref, ef_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
          *rest) = refs
         edits = _edit_overrides(ek_ref, ef_ref, E)
@@ -593,10 +599,14 @@ def _trace_kernel(
     # collapse to selects of these
     consts = step_consts(dx, dy, dz) if opt else None
 
-    def solid_tl_at(cx, cy, cz, inside):
+    def solid_tl_at(cx, cy, cz, inside, use_edits=True):
         """(solid, translucent) at candidate cells — dda_proc._make_occupancy
         + _make_translucency semantics (translucent == ~solid absent edits;
-        glass-style edits may be solid AND translucent)."""
+        glass-style edits may be solid AND translucent).
+
+        use_edits=False compiles the pure-worldgen form — legal only when
+        the caller proves no edit cell is reachable (the per-chunk edit
+        gate; results are then bit-identical to the edited form)."""
         wx = cx.astype(f32) + gox
         wy = cy.astype(f32) + goy
         wz = cz.astype(f32) + goz
@@ -606,11 +616,11 @@ def _trace_kernel(
             - wy * inv_falloff
         )
         s = dens > thr
-        if E:
+        if E and use_edits:
             s, edited_b, tl_i = _apply_edits(cx, cy, cz, s, edits)
         s = s & inside
         t = ~s
-        if E:
+        if E and use_edits:
             t = (edited_b & (tl_i != 0)) | (~edited_b & t)
         return s, t
 
@@ -665,7 +675,7 @@ def _trace_kernel(
     def cond(s):
         return (jnp.max(s[0]) > 0) & (s[12] < max_steps)
 
-    def body(s):
+    def body(s, use_edits=True):
         (alive_i, scx, scy, scz, cur_solid_i, hit_i, t, face, hx, hy, hz,
          entering_i, steps) = s[:13]
         alive = alive_i != 0
@@ -694,7 +704,7 @@ def _trace_kernel(
         ny = jnp.where(can_skip, ky, ey_)
         nz = jnp.where(can_skip, kz, ez_)
         inside = (can_skip & skip_inside) | (~can_skip & inside_exact)
-        new_solid, new_tl = solid_tl_at(nx, ny, nz, inside)
+        new_solid, new_tl = solid_tl_at(nx, ny, nz, inside, use_edits)
 
         entering_hit = new_solid & cur_tl & ~can_skip
         exiting_hit = cur_solid & new_tl & ~can_skip
@@ -735,16 +745,46 @@ def _trace_kernel(
             steps + 1,
         ) + ((new_tl.astype(i32),) if E else ())
 
-    if unroll > 1:
+    step_fn = body
+    k_steps = max(1, unroll)
+
+    def _chunk(s, use_edits):
         # compose the body: k cell-steps per loop iteration. Bit-identical
         # (same visit order; finished rays are masked no-ops) — trades
         # loop-control overhead for at most k-1 wasted masked steps
-        inner = body
+        for _ in range(k_steps):
+            s = step_fn(s, use_edits)
+        return s
 
-        def body(s, _inner=inner, _k=unroll):
-            for _ in range(_k):
-                s = _inner(s)
-            return s
+    if gate:
+        # per-chunk edit gate (E > EDIT_GATE_MIN): a chunk tests cells at
+        # most k_steps from its start cells (coarse skips are never baked
+        # for edited worlds), so when no lane is within k_steps + 1 of the
+        # edit-set AABB the edit-free chunk is bit-identical — the O(E)
+        # per-step compare is paid only near the edits
+        # (tests/test_edit_gate.py)
+        assert coarse is None, "edit gate assumes no baked coarse skips"
+        exmin, exmax = ebox_ref[0], ebox_ref[1]
+        eymin, eymax = ebox_ref[2], ebox_ref[3]
+        ezmin, ezmax = ebox_ref[4], ebox_ref[5]
+        m = jnp.int32(k_steps + 1)
+
+        def body(s):
+            scx, scy, scz = s[1], s[2], s[3]
+            near = (
+                (jnp.min(scx) <= exmax + m) & (jnp.max(scx) >= exmin - m)
+                & (jnp.min(scy) <= eymax + m) & (jnp.max(scy) >= eymin - m)
+                & (jnp.min(scz) <= ezmax + m) & (jnp.max(scz) >= ezmin - m)
+            )
+            return jax.lax.cond(
+                near,
+                lambda ss: _chunk(ss, True),
+                lambda ss: _chunk(ss, False),
+                s,
+            )
+    else:
+        def body(s):
+            return _chunk(s, True)
 
     s = jax.lax.while_loop(cond, body, state)
     (_, _, _, _, _, hit_i, t, face, hx, hy, hz, entering_i, _) = s[:13]
@@ -759,9 +799,17 @@ def _trace_kernel(
     )
 
 
+# above this many edit rows the kernels gate the per-step edit compare
+# behind a per-chunk block-level lax.cond on "any lane within reach of
+# the edit-set AABB" — O(E) per step only in chunks near the edits
+EDIT_GATE_MIN = 8
+
+
 def edit_smem_args(ps, pd):
-    """(edit_key, edit_flags) SMEM arrays for a kernel call, or () when
-    the world is edit-free. Key packing must match _apply_edits."""
+    """(edit_key, edit_flags[, edit_aabb]) SMEM arrays for a kernel call,
+    or () when the world is edit-free. Key packing must match
+    _apply_edits. The AABB row [xmin,xmax,ymin,ymax,zmin,zmax] ships only
+    for E > EDIT_GATE_MIN (the per-chunk edit gate)."""
     if not ps.n_edits:
         return ()
     if not pd or pd.get("edit_cells") is None:
@@ -773,8 +821,22 @@ def edit_smem_args(ps, pd):
     eflg = (
         pd["edit_solid"].astype(jnp.int32)
         | (pd["edit_translucent"].astype(jnp.int32) << 1)
+        # block id at bits 2-9: the path kernel's retire reads it for the
+        # hit material (in-kernel radiance t_mat + the edited-cell
+        # constant-material scatter); the march itself only reads bits 0-1
+        | (pd["edit_blocks"].astype(jnp.int32) << 2)
     )
-    return (ekey, eflg)
+    if ps.n_edits <= EDIT_GATE_MIN:
+        return (ekey, eflg)
+    big = jnp.int32(1 << 20)
+    lo = jnp.where(valid[:, None], ec, big)
+    hi = jnp.where(valid[:, None], ec, -big)
+    ebox = jnp.stack([
+        lo[:, 0].min(), hi[:, 0].max(),
+        lo[:, 1].min(), hi[:, 1].max(),
+        lo[:, 2].min(), hi[:, 2].max(),
+    ]).astype(jnp.int32)
+    return (ekey, eflg, ebox)
 
 
 @functools.partial(

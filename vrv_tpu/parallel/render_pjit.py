@@ -47,6 +47,7 @@ def render_frame_sharded(
     proc_static=None,
     light_tex_set=None,
     inst_static=None,
+    light_em=None,
 ) -> jax.Array:
     """(H, W, 4) u8 frame computed across the mesh."""
     n_samples_shards = mesh.shape["samples"]
@@ -68,7 +69,7 @@ def render_frame_sharded(
             y0=r_idx * local_h, local_height=local_h,
             s0=s_idx * local_spp, local_spp=local_spp,
             proc_static=proc_static, proc=proc, light_tex_set=light_tex_set,
-            inst_static=inst_static,
+            inst_static=inst_static, light_em=light_em,
         )  # (local_spp, local_h, W, 3)
         partial_sum = samples.sum(axis=0)
         total = jax.lax.psum(partial_sum, axis_name="samples")
@@ -93,6 +94,7 @@ def render_converged_sharded(
     grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows, proc,
     eye, front, right, up, frame0, chunks: int, cfg: RenderConfig,
     proc_static=None, light_tex_set=None, inst_static=None,
+    light_em=None,
 ) -> jax.Array:
     """One converged frame (`chunks` accumulated 1-pass renders) across the
     mesh -> (H, W, 4) u8.
@@ -124,6 +126,7 @@ def render_converged_sharded(
                 rows, eye, front, right, up, fid, cfg,
                 proc_static=proc_static, proc=proc,
                 light_tex_set=light_tex_set, inst_static=inst_static,
+                light_em=light_em,
             )
             return acc + smp.sum(axis=0)
 
@@ -150,7 +153,7 @@ def render_converged_sharded(
 def jit_render_converged_sharded(mesh: Mesh, chunks: int, cfg: RenderConfig,
                                  bvh_max_depth: int, has_lights: bool,
                                  proc_static=None, light_tex_set=None,
-                                 inst_static=None):
+                                 inst_static=None, light_em=None):
     def fn(grid, translucent, materials, bvh, dist, inst, rows, proc,
            eye, front, right, up, frame0):
         return render_converged_sharded(
@@ -158,7 +161,7 @@ def jit_render_converged_sharded(mesh: Mesh, chunks: int, cfg: RenderConfig,
             bvh if has_lights else None, bvh_max_depth, dist, inst, rows,
             proc, eye, front, right, up, frame0, chunks, cfg,
             proc_static=proc_static, light_tex_set=light_tex_set,
-            inst_static=inst_static,
+            inst_static=inst_static, light_em=light_em,
         )
 
     return jax.jit(fn)
@@ -167,7 +170,7 @@ def jit_render_converged_sharded(mesh: Mesh, chunks: int, cfg: RenderConfig,
 @functools.lru_cache(maxsize=16)
 def jit_render_sharded(mesh: Mesh, cfg: RenderConfig, bvh_max_depth: int,
                        has_lights: bool, proc_static=None, light_tex_set=None,
-                       inst_static=None):
+                       inst_static=None, light_em=None):
     def fn(grid, translucent, materials, bvh, dist, inst, rows, proc,
            eye, front, right, up, frame):
         return render_frame_sharded(
@@ -175,6 +178,7 @@ def jit_render_sharded(mesh: Mesh, cfg: RenderConfig, bvh_max_depth: int,
             bvh if has_lights else None, bvh_max_depth, dist, inst, rows, proc,
             eye, front, right, up, frame, cfg, proc_static=proc_static,
             light_tex_set=light_tex_set, inst_static=inst_static,
+            light_em=light_em,
         )
 
     return jax.jit(fn)

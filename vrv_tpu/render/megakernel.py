@@ -55,6 +55,7 @@ def render_samples(
     light_tex_set=None,
     inst_static=None,
     occupancy_out=None,
+    light_em=None,
 ) -> jax.Array:
     """Render linear radiance per sample: (spp, H, W, 3) float32.
 
@@ -122,7 +123,11 @@ def render_samples(
         and cfg.rng == "murmur3"
         and proc_static is not None
         and proc_static.lambert_only
-        and proc_static.edits_lambert
+        # air / opaque-lambert / constant-material-opaque (mirror-class,
+        # ps.edit_mats) edits all stay in-kernel — placing the DEFAULT
+        # mirror block (quirk Q7) no longer evicts the fast path; glass
+        # still falls back (texel-varying alpha + translucent march)
+        and proc_static.edits_fused
     )
     # split (shadow-ray) NEE keeps the fused kernel's cosine chain valid
     # under lights (the reference's mixture NEE redirects the continuation
@@ -189,6 +194,7 @@ def render_samples(
     # kernel's sampled directions so the path chain is exactly what the
     # kernel marched.
     fused_traces = fused_dirs = fused_ihits = fused_nee = None
+    ikr_out = None     # in-kernel-radiance records (replace the replay)
     fused_pad = None   # (Rp, Wp) when shading runs on the padded layout
     if fused_eligible:
         from vrv_tpu.ops.pallas.path_proc import trace_path_pallas
@@ -264,12 +270,25 @@ def render_samples(
             and cfg.max_bounces > 1
             and bvh.get("flat") is not None
         )
-        with jax.named_scope("fused_path_trace"):
-            # in-kernel skip certificates OFF here: measured a net loss in
-            # the fused kernel (285 vs 303 ms/frame — bounce rays rarely
-            # clear the certificates, so the per-step tree cost dominates)
-            fused_traces, fused_dirs, fused_ihits, fused_nee = \
-                trace_path_pallas(
+        # in-kernel RADIANCE (docs/PERF.md round-5 roofline item: the 93 ms
+        # of XLA glue): the kernel also resolves the hit material key, the
+        # scatter-branch code, and every NEE direct-term factor except the
+        # hit reflectivity texel — the XLA side below collapses to one
+        # packed-atlas row fetch per bounce + the exact accumulation chain.
+        # Needs the static light emissive palettes (Scene.light_em) when
+        # lights are on; falls back to the trace-record replay otherwise.
+        ikr = (
+            cfg.pallas_inkernel_radiance
+            and "packed" in materials
+            and (
+                not split_nee
+                or cfg.max_bounces == 1
+                or (nee_in_kernel and light_em is not None)
+            )
+        )
+        if ikr:
+            with jax.named_scope("fused_path_radiance"):
+                ikr_out = trace_path_pallas(
                     proc_static._replace(use_coarse=False), o, d, seeds,
                     cfg.max_bounces,
                     t_min=cfg.t_min, t_max=cfg.t_max, pd=proc,
@@ -279,10 +298,37 @@ def render_samples(
                     inst=inst if inst_in_kernel else None,
                     inst_static=inst_static if inst_in_kernel else None,
                     step_cap=cfg.pallas_step_cap,
-                    lights=bvh["flat"] if nee_in_kernel else None,
-                    nee_pdf=cfg.pallas_nee_record_pdf,
+                    lights=(
+                        bvh["flat"]
+                        if (split_nee and cfg.max_bounces > 1) else None
+                    ),
                     march_opt=int(cfg.pallas_march_opt),
+                    radiance=True, light_em=light_em,
+                    nee_scale=cfg.nee_importance_scale,
+                    nee_clamp=cfg.nee_mis_clamp,
+                    emission_gain=cfg.emission_gain,
                 )
+        else:
+            with jax.named_scope("fused_path_trace"):
+                # in-kernel skip certificates OFF here: measured a net
+                # loss in the fused kernel (285 vs 303 ms/frame — bounce
+                # rays rarely clear the certificates, so the per-step tree
+                # cost dominates)
+                fused_traces, fused_dirs, fused_ihits, fused_nee = \
+                    trace_path_pallas(
+                        proc_static._replace(use_coarse=False), o, d, seeds,
+                        cfg.max_bounces,
+                        t_min=cfg.t_min, t_max=cfg.t_max, pd=proc,
+                        unroll=cfg.pallas_unroll or None,
+                        hw=hw,
+                        retire_cond=cfg.pallas_retire_cond,
+                        inst=inst if inst_in_kernel else None,
+                        inst_static=inst_static if inst_in_kernel else None,
+                        step_cap=cfg.pallas_step_cap,
+                        lights=bvh["flat"] if nee_in_kernel else None,
+                        nee_pdf=cfg.pallas_nee_record_pdf,
+                        march_opt=int(cfg.pallas_march_opt),
+                    )
         n = o.shape[0]
 
     color = jnp.zeros((n, 3), jnp.float32)
@@ -349,8 +395,10 @@ def render_samples(
     if fused_traces is not None and cfg.pallas_onehot_tex:
         blocks = {proc_static.grass, proc_static.stone}
         if proc_static.n_edits:
-            # edited cells can carry any opaque-lambert block
+            # edited cells can carry any opaque-lambert block, plus the
+            # mirror-class constant-material blocks (edit_mats)
             blocks |= set(proc_static.lambert_blocks)
+            blocks |= {b for b, _ in proc_static.edit_mats}
         tex_ids = {b * 6 + f for b in sorted(blocks) for f in range(6)}
         if inst_in_kernel:
             tex_ids |= set(inst_static[0])
@@ -370,7 +418,67 @@ def render_samples(
     split_kvis = []
     w_prev = None
 
-    if fused_traces is not None and cfg.pallas_batched_shade:
+    if ikr_out is not None:
+        # --- in-kernel radiance: the whole resolve/shade replay collapses
+        # to one packed-atlas row fetch per bounce + the exact
+        # accumulation chain over the kernel's records. Formula order
+        # mirrors shade.shade_resolved / the batched accumulation exactly
+        # (gates: tests/test_inkernel_radiance.py). ---
+        codes, cosins, srs, nrecs = ikr_out
+        B = cfg.max_bounces
+        pk = materials["packed"]
+        packed_flat = pk.reshape(-1, pk.shape[-1])
+        sky = jnp.full((n, 3), jnp.float32(cfg.sky_emission))
+        directs = []
+        w_prev_r = None
+        for b in range(B):
+            if occupancy_out is not None:
+                occupancy_out.append(
+                    jnp.minimum(alive.sum(), jnp.int32(S * H * W))
+                )
+            code = codes[b]
+            hitb = (code & 1) == 1
+            branch = (code >> 1) & 3
+            key = (code >> 3) & 0x3FFF
+            with jax.named_scope(f"ikr_fetch_b{b}"):
+                row = jnp.take(packed_flat, key, axis=0)
+            refl = row[:, :3]
+            em = row[:, 4:7]
+            refl_lambert = refl / shade._PI
+            e_hit = (cfg.emission_gain * em) * cosins[b][:, None]
+            if split_nee and w_prev_r is not None:
+                e_hit = e_hit * (1.0 - w_prev_r)[:, None]
+            e_b = jnp.where(hitb[:, None], e_hit, sky)
+            r_lam = refl_lambert * srs[b][:, None]
+            refl_out = jnp.where(
+                hitb[:, None],
+                jnp.where(
+                    (branch == 1)[:, None], refl,
+                    jnp.where(
+                        (branch == 2)[:, None], jnp.ones_like(refl), r_lam
+                    ),
+                ),
+                0.0,
+            )
+            if split_nee and b < B - 1 and nrecs is not None:
+                w_b, cxp_b, geo_b, ey0, ey1, ey2 = nrecs[b]
+                tmp = w_b[:, None] * refl_lambert
+                tmp = tmp * cxp_b[:, None]
+                ey = jnp.stack([ey0, ey1, ey2], axis=-1)
+                dir_b = (tmp * ey) * geo_b[:, None]
+                dir_b = jnp.where((geo_b != 0.0)[:, None], dir_b, 0.0)
+                directs.append(
+                    (jnp.where(alive[:, None], throughput, 0.0), dir_b)
+                )
+                w_prev_r = w_b
+            color = color + jnp.where(alive[:, None], throughput * e_b, 0.0)
+            throughput = jnp.where(alive[:, None], throughput * refl_out, 0.0)
+            alive = alive & hitb
+        with jax.named_scope("ikr_direct_accum"):
+            for T_b, dir_b in directs:
+                color = color + T_b * dir_b
+        bounce_range = ()
+    elif fused_traces is not None and cfg.pallas_batched_shade:
         # --- batched shading over the recorded chain ---
         # Phase 1 (sequential, cheap): resolve the hit geometry per bounce
         # — the origin chain is inherently sequential (bounce b starts at
@@ -739,12 +847,13 @@ def render_frame(
     grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows,
     eye, front, right, up, frame, cfg: RenderConfig,
     proc_static=None, proc=None, light_tex_set=None, inst_static=None,
+    light_em=None,
 ) -> jax.Array:
     """Full frame: average samples, pack BGRA u8 (H, W, 4)."""
     samples = render_samples(
         grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows,
         eye, front, right, up, frame, cfg,
         proc_static=proc_static, proc=proc, light_tex_set=light_tex_set,
-        inst_static=inst_static,
+        inst_static=inst_static, light_em=light_em,
     )
     return pack_bgra(samples.mean(axis=0))

@@ -260,10 +260,13 @@ class Scene:
     # procedural tracer bundle (ops/dda_proc.py)
     # ------------------------------------------------------------------
 
-    # beyond this many deviations from pristine worldgen the O(n_edits)
-    # per-step edit compare stops paying and the proc tracer is disabled
-    # (render falls back to the 'rows' grid tracer)
-    PROC_EDIT_CAP = 64
+    # beyond this many deviations from pristine worldgen the proc tracer
+    # is disabled (render falls back to the 'rows' grid tracer). The
+    # per-STEP edit compare is O(pad) only in chunks near the edit-set
+    # AABB (trace_proc.EDIT_GATE_MIN per-chunk gating); the per-RETIRE
+    # compares stay O(pad) everywhere, which bounds the useful cap —
+    # round-5 on-chip A/B in docs/PERF.md prices the tiers.
+    PROC_EDIT_CAP = 1024
     # beyond this many light triangles the flat split-NEE sampler stops
     # paying and sampling falls back to the stochastic BVH descent
     FLAT_LIGHT_CAP = 64
@@ -393,15 +396,44 @@ class Scene:
                 )
             )
         # fused-path eligibility under edits: every edited-in block must
-        # scatter cosine (air holes or opaque-lambert placements); glass/
-        # mirror edits evict to the staged per-bounce kernels
-        edits_lambert = all(
-            b == self.table.air or b in self._lambert_blocks
-            for b in self._proc_diff.values()
-        )
+        # either scatter cosine (air holes or opaque-lambert placements)
+        # or be constant-material OPAQUE (the mirror class: per-face
+        # constant metallicity, alpha == 1 everywhere — the kernel's
+        # retire branches reflect-vs-cosine on those constants, so the
+        # DEFAULT placed block (mirror, quirk Q7) no longer evicts the
+        # fast path). Glass (texel-varying alpha, translucent) still
+        # falls back to the staged per-bounce kernels.
+        t = self.table
+
+        def _const_opaque(b: int):
+            mets = []
+            for f in range(6):
+                a = t.reflectivity[b * 6 + f][..., 3]
+                m = t.metallicity[b * 6 + f]
+                if float(a.min()) != 1.0 or float(a.max()) != 1.0:
+                    return None
+                if float(m.max()) != float(m.min()):
+                    return None
+                mets.append(float(m.flat[0]))
+            return tuple(mets)
+
+        edits_lambert = True
+        edit_mats = {}
+        edits_fused = True
+        for b in set(self._proc_diff.values()):
+            if b == t.air or b in self._lambert_blocks:
+                continue
+            edits_lambert = False
+            mats = _const_opaque(b)
+            if mats is None:
+                edits_fused = False
+            else:
+                edit_mats[int(b)] = mats
         self.proc_static = ps0._replace(
             n_edits=cap,
             edits_lambert=edits_lambert,
+            edits_fused=edits_fused,
+            edit_mats=tuple(sorted(edit_mats.items())),
             lambert_blocks=self._lambert_blocks if cap else (),
         )
         self.proc_arrays = {
@@ -501,6 +533,33 @@ class Scene:
             )
         else:
             self.light_tex_set = None
+        # static emissive palettes per light-texture group: the in-kernel-
+        # radiance retire path computes the NEE emission texel via a
+        # constant select tree instead of an XLA row gather. The shipped
+        # lamp textures have ~30 unique emissive texel values; any group
+        # over the 32-entry cap disables the palettes (ikr then falls
+        # back to the record-replay path). Texel index packing matches
+        # shade._fetch_atlas (row-major ty*16+tx over the 16x16 image).
+        self.light_em = None
+        if self.light_tex_set is not None:
+            tabs = []
+            for group in self.light_tex_set:
+                em = self.table.emissivity[group[0]].reshape(
+                    -1, 3).astype(np.float32)
+                pal, inv = np.unique(em, axis=0, return_inverse=True)
+                if len(pal) > 32 or em.shape[0] != 256:
+                    tabs = None
+                    break
+                words = np.zeros(64, np.uint32)
+                for i, v in enumerate(inv.ravel()):
+                    words[i >> 2] |= np.uint32(v) << np.uint32(8 * (i & 3))
+                tabs.append((
+                    tuple(int(t) for t in group),
+                    tuple(int(w) for w in words),
+                    tuple((float(r), float(g), float(b)) for r, g, b in pal),
+                ))
+            if tabs:
+                self.light_em = tuple(tabs)
 
     def _edit_touches_lights(self, cell: np.ndarray, old: int, new: int) -> bool:
         if old in self._emissive_blocks or new in self._emissive_blocks:
@@ -614,7 +673,8 @@ class Scene:
         """One frame -> (H, W, 4) u8 BGRA on device."""
         ps, pa = self._proc_for(cfg)
         fn = _jit_render(cfg, self.bvh_max_depth, self.bvh_device is not None, ps,
-                         self.light_tex_set, self.inst_static)
+                         self.light_tex_set, self.inst_static,
+                         self.light_em)
         return fn(
             self.grid,
             self.translucent,
@@ -642,7 +702,8 @@ class Scene:
         ps, pa = self._proc_for(cfg)
         fn = jit_render_sharded(mesh, cfg, self.bvh_max_depth,
                                 self.bvh_device is not None, ps,
-                                self.light_tex_set, self.inst_static)
+                                self.light_tex_set, self.inst_static,
+                                self.light_em)
         return fn(
             self.grid,
             self.translucent,
@@ -677,7 +738,8 @@ class Scene:
         ps, pa = self._proc_for(cfg)
         fn = _jit_render_converged(cfg, int(chunks), self.bvh_max_depth,
                                    self.bvh_device is not None, ps,
-                                   self.light_tex_set, self.inst_static)
+                                   self.light_tex_set, self.inst_static,
+                                   self.light_em)
         return fn(
             self.grid,
             self.translucent,
@@ -706,7 +768,7 @@ class Scene:
         fn = jit_render_converged_sharded(
             mesh, int(chunks), cfg, self.bvh_max_depth,
             self.bvh_device is not None, ps, self.light_tex_set,
-            self.inst_static,
+            self.inst_static, self.light_em,
         )
         return fn(
             self.grid,
@@ -727,7 +789,8 @@ class Scene:
     def render_samples(self, eye, front, right, up, frame: int, cfg: RenderConfig) -> jax.Array:
         ps, pa = self._proc_for(cfg)
         fn = _jit_render_samples(cfg, self.bvh_max_depth, self.bvh_device is not None,
-                                 ps, self.light_tex_set, self.inst_static)
+                                 ps, self.light_tex_set, self.inst_static,
+                                 self.light_em)
         return fn(
             self.grid,
             self.translucent,
@@ -762,7 +825,8 @@ def _rng_mode(mode: str):
 
 @functools.lru_cache(maxsize=64)
 def _jit_render(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool,
-                proc_static=None, light_tex_set=None, inst_static=None):
+                proc_static=None, light_tex_set=None, inst_static=None,
+                light_em=None):
     def fn(grid, translucent, materials, bvh, dist, inst, rows, proc,
            eye, front, right, up, frame):
         with _rng_mode(cfg.rng):
@@ -787,12 +851,13 @@ def _jit_render(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool,
                 bvh_max_depth, dist, inst, rows, eye, front, right, up, frame, cfg,
                 proc_static=proc_static, proc=proc,
                 light_tex_set=light_tex_set, inst_static=inst_static,
+                light_em=light_em,
             )
         return megakernel.render_frame(
             grid, translucent, materials, bvh if has_lights else None,
             bvh_max_depth, dist, inst, rows, eye, front, right, up, frame, cfg,
             proc_static=proc_static, proc=proc, light_tex_set=light_tex_set,
-            inst_static=inst_static,
+            inst_static=inst_static, light_em=light_em,
         )
 
     return jax.jit(fn)
@@ -800,7 +865,8 @@ def _jit_render(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool,
 
 @functools.lru_cache(maxsize=64)
 def _jit_render_samples(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool,
-                        proc_static=None, light_tex_set=None, inst_static=None):
+                        proc_static=None, light_tex_set=None, inst_static=None,
+                        light_em=None):
     def fn(grid, translucent, materials, bvh, dist, inst, rows, proc,
            eye, front, right, up, frame):
         with _rng_mode(cfg.rng):
@@ -808,7 +874,7 @@ def _jit_render_samples(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool,
                 grid, translucent, materials, bvh if has_lights else None,
                 bvh_max_depth, dist, inst, rows, eye, front, right, up, frame, cfg,
                 proc_static=proc_static, proc=proc, light_tex_set=light_tex_set,
-                inst_static=inst_static,
+                inst_static=inst_static, light_em=light_em,
             )
 
     return jax.jit(fn)
@@ -817,7 +883,8 @@ def _jit_render_samples(cfg: RenderConfig, bvh_max_depth: int, has_lights: bool,
 @functools.lru_cache(maxsize=64)
 def _jit_render_converged(cfg: RenderConfig, chunks: int, bvh_max_depth: int,
                           has_lights: bool, proc_static=None,
-                          light_tex_set=None, inst_static=None):
+                          light_tex_set=None, inst_static=None,
+                          light_em=None):
     def fn(grid, translucent, materials, bvh, dist, inst, rows, proc,
            eye, front, right, up, frame0):
         def body(i, acc):
@@ -828,6 +895,7 @@ def _jit_render_converged(cfg: RenderConfig, chunks: int, bvh_max_depth: int,
                     rows, eye, front, right, up, frame0 + jnp.uint32(i), cfg,
                     proc_static=proc_static, proc=proc,
                     light_tex_set=light_tex_set, inst_static=inst_static,
+                    light_em=light_em,
                 )
             return acc + smp.sum(axis=0)
 

@@ -252,6 +252,7 @@ def render_samples_wavefront_fused(
     eye, front, right, up, frame, cfg: RenderConfig,
     with_occupancy: bool = False,
     proc_static=None, proc=None, light_tex_set=None, inst_static=None,
+    light_em=None,
 ):
     """Fused-kernel wavefront: megakernel dispatch + occupancy telemetry.
 
@@ -267,6 +268,7 @@ def render_samples_wavefront_fused(
         grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows,
         eye, front, right, up, frame, cfg,
         proc_static=proc_static, proc=proc, light_tex_set=light_tex_set,
+        light_em=light_em,
         inst_static=inst_static, occupancy_out=occ,
     )
     fb = samples.sum(axis=0)
@@ -279,11 +281,13 @@ def render_frame_wavefront_fused(
     grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows,
     eye, front, right, up, frame, cfg: RenderConfig,
     proc_static=None, proc=None, light_tex_set=None, inst_static=None,
+    light_em=None,
 ) -> jax.Array:
     fb = render_samples_wavefront_fused(
         grid, translucent, materials, bvh, bvh_max_depth, dist, inst, rows,
         eye, front, right, up, frame, cfg,
         proc_static=proc_static, proc=proc, light_tex_set=light_tex_set,
+        light_em=light_em,
         inst_static=inst_static,
     )
     return pack_bgra(fb / cfg.samples_per_pixel)
