@@ -180,7 +180,8 @@ def main() -> int:
         solid = bt.solid[sc._grid_np]
         rng_ = np.random.default_rng(11)
         ids = [int(bt.block_idx(nm))
-               for nm in ("soil", "stone", "lamp", "mirror")]
+               for nm in ("soil", "stone", "soil", "mirror")]
+        lamp_id = int(bt.block_idx("lamp"))
         placed = 0
         span = min(12, gsz // 2 - 2)
         while placed < n_edits:
@@ -190,7 +191,15 @@ def main() -> int:
             if not len(ys) or ys.max() + 3 >= gsz:
                 continue
             y = int(ys.max()) + 1 + placed % 3
-            bid = int(bt.air) if placed % 5 == 4 else ids[placed % 4]
+            # lamps SPARSE (every 43rd edit, ~6 total): a realistic
+            # build keeps the light set inside FLAT_LIGHT_CAP so split NEE
+            # stays on the flat sampler / in-kernel path
+            if placed % 43 == 3:
+                bid = lamp_id
+            elif placed % 5 == 4:
+                bid = int(bt.air)
+            else:
+                bid = ids[placed % 4]
             if sc.set_block(np.array([x, y, z]) + org, bid):
                 placed += 1
         return sc

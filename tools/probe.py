@@ -538,7 +538,8 @@ def cmd_entry(args):
         solid = bt.solid[e256_scene._grid_np]
         rng_ = np.random.default_rng(11)
         ids = [int(bt.block_idx(n))
-               for n in ("soil", "stone", "lamp", "mirror")]
+               for n in ("soil", "stone", "soil", "mirror")]
+        lamp_id = int(bt.block_idx("lamp"))
         placed = 0
         # a local build: edits cluster in a 24^3 region near the camera
         # (realistic gameplay — a player building a structure)
@@ -549,7 +550,15 @@ def cmd_entry(args):
             if not len(ys) or ys.max() + 3 >= gsz:
                 continue
             y = int(ys.max()) + 1 + placed % 3
-            bid = int(bt.air) if placed % 5 == 4 else ids[placed % 4]
+            # lamps SPARSE (every 43rd edit, ~6 total): a realistic
+            # build keeps the light set inside FLAT_LIGHT_CAP so split NEE
+            # stays on the flat sampler / in-kernel path
+            if placed % 43 == 3:
+                bid = lamp_id
+            elif placed % 5 == 4:
+                bid = int(bt.air)
+            else:
+                bid = ids[placed % 4]
             if e256_scene.set_block(np.array([x, y, z]) + org, bid):
                 placed += 1
         assert e256_scene.proc_static is not None, "256 edits must stay proc"
