@@ -1186,28 +1186,19 @@ def _path_kernel(
         return s
 
     if gate:
-        # per-chunk edit gate (E > EDIT_GATE_MIN, see trace_proc): the
-        # march pays the O(E) per-step compare only in chunks whose lanes
-        # can reach the edit-set AABB; retire (1 eval per chunk) keeps
-        # edits unconditionally — its re-init cell and the hit-material
-        # compares must stay exact everywhere
+        # per-chunk edit gate (E > EDIT_GATE_MIN, see trace_proc
+        # _make_near): the march pays the O(E) per-step compare only in
+        # chunks whose lanes can reach an edit-cluster box; retire
+        # (1 eval per chunk) keeps edits unconditionally — its re-init
+        # cell and the hit-material compares must stay exact everywhere
         assert coarse is None, "edit gate assumes no baked coarse skips"
-        _exmin, _exmax = ebox_ref[0], ebox_ref[1]
-        _eymin, _eymax = ebox_ref[2], ebox_ref[3]
-        _ezmin, _ezmax = ebox_ref[4], ebox_ref[5]
-        _m = jnp.int32(max(1, unroll) + 1)
+        from vrv_tpu.ops.pallas.trace_proc import _make_near
+
+        near_fn = _make_near(ebox_ref, max(1, unroll))
 
         def _gated_chunk(s):
-            scx, scy, scz = s[10], s[11], s[12]
-            near = (
-                (jnp.min(scx) <= _exmax + _m) & (jnp.max(scx) >= _exmin - _m)
-                & (jnp.min(scy) <= _eymax + _m)
-                & (jnp.max(scy) >= _eymin - _m)
-                & (jnp.min(scz) <= _ezmax + _m)
-                & (jnp.max(scz) >= _ezmin - _m)
-            )
             return jax.lax.cond(
-                near,
+                near_fn(s[10], s[11], s[12]),
                 lambda ss: _chunk(ss, True),
                 lambda ss: _chunk(ss, False),
                 s,

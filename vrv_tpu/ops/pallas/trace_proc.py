@@ -291,22 +291,26 @@ def _apply_edits(cx, cy, cz, wg_solid, edits):
     """(solid, translucent) for candidate cells, worldgen + edit overrides.
 
     wg_solid excludes the `inside` mask (applied by the caller after the
-    solid override, matching dda_proc._make_occupancy's order)."""
-    i32 = jnp.int32
+    solid override, matching dda_proc._make_occupancy's order).
+
+    Per-edit cost is the design constraint at large E (the per-chunk
+    gate bounds WHERE it is paid, this bounds HOW MUCH): one vector
+    compare + three i1 accumulates, all full-rate mask ops — the earlier
+    i32 form paid a ~2x convert (.astype) plus two multiplies per edit
+    (tools/vpu_probe.py op prices). Same boolean values."""
     ekeys, esol, etl = edits[:3]
     key = (cx << 20) | (cy << 10) | cz
-    edited = jnp.zeros_like(cx)
-    sol_i = jnp.zeros_like(cx)
-    tl_i = jnp.zeros_like(cx)
+    edited_b = jnp.zeros(cx.shape, bool)
+    sol_b = jnp.zeros(cx.shape, bool)
+    tl_b = jnp.zeros(cx.shape, bool)
     for e in range(len(ekeys)):
-        mi = (key == ekeys[e]).astype(i32)
-        edited = edited | mi
-        sol_i = sol_i | (mi * esol[e])
-        tl_i = tl_i | (mi * etl[e])
-    edited_b = edited != 0
+        m = key == ekeys[e]
+        edited_b = edited_b | m
+        sol_b = sol_b | (m & (esol[e] != 0))
+        tl_b = tl_b | (m & (etl[e] != 0))
     # bitwise selects: Mosaic rejects select_n on i1 vectors
-    solid = (edited_b & (sol_i != 0)) | (~edited_b & wg_solid)
-    return solid, edited_b, tl_i
+    solid = (edited_b & sol_b) | (~edited_b & wg_solid)
+    return solid, edited_b, tl_b.astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -759,25 +763,16 @@ def _trace_kernel(
     if gate:
         # per-chunk edit gate (E > EDIT_GATE_MIN): a chunk tests cells at
         # most k_steps from its start cells (coarse skips are never baked
-        # for edited worlds), so when no lane is within k_steps + 1 of the
-        # edit-set AABB the edit-free chunk is bit-identical — the O(E)
-        # per-step compare is paid only near the edits
+        # for edited worlds), so when no lane is within k_steps + 1 of
+        # any edit-cluster box the edit-free chunk is bit-identical — the
+        # O(E) per-step compare is paid only near the edits
         # (tests/test_edit_gate.py)
         assert coarse is None, "edit gate assumes no baked coarse skips"
-        exmin, exmax = ebox_ref[0], ebox_ref[1]
-        eymin, eymax = ebox_ref[2], ebox_ref[3]
-        ezmin, ezmax = ebox_ref[4], ebox_ref[5]
-        m = jnp.int32(k_steps + 1)
+        near_fn = _make_near(ebox_ref, k_steps)
 
         def body(s):
-            scx, scy, scz = s[1], s[2], s[3]
-            near = (
-                (jnp.min(scx) <= exmax + m) & (jnp.max(scx) >= exmin - m)
-                & (jnp.min(scy) <= eymax + m) & (jnp.max(scy) >= eymin - m)
-                & (jnp.min(scz) <= ezmax + m) & (jnp.max(scz) >= ezmin - m)
-            )
             return jax.lax.cond(
-                near,
+                near_fn(s[1], s[2], s[3]),
                 lambda ss: _chunk(ss, True),
                 lambda ss: _chunk(ss, False),
                 s,
@@ -801,8 +796,42 @@ def _trace_kernel(
 
 # above this many edit rows the kernels gate the per-step edit compare
 # behind a per-chunk block-level lax.cond on "any lane within reach of
-# the edit-set AABB" — O(E) per step only in chunks near the edits
+# an edit-cluster box" — O(E) per step only in chunks near the edits
 EDIT_GATE_MIN = 8
+
+
+def _make_near(ebox_ref, k_steps):
+    """Per-chunk edit-gate predicate: any lane within chunk reach
+    (k_steps + 1 cells) of any edit-cluster box.
+
+    ebox_ref: SMEM (C*6,) i32 — per-coarse-block tight boxes of the edit
+    set ([xmin,xmax,ymin,ymax,zmin,zmax] each; pad rows lo > hi never
+    match). Box scalars are read ONCE (loop-invariant), pre-inflated by
+    the margin; the per-chunk cost is C boxes x ~11 vector compare/and
+    ops + one any() reduce. Sound because a chunk's tested cells lie
+    within k_steps of its start cells (no coarse skips under edits) and
+    dead-lane drift only widens the lane set (conservative)."""
+    m = int(k_steps) + 1
+    C = ebox_ref.shape[0] // 6
+    boxes = []
+    for c in range(C):
+        boxes.append((
+            ebox_ref[c * 6 + 0] - m, ebox_ref[c * 6 + 1] + m,
+            ebox_ref[c * 6 + 2] - m, ebox_ref[c * 6 + 3] + m,
+            ebox_ref[c * 6 + 4] - m, ebox_ref[c * 6 + 5] + m,
+        ))
+
+    def near(scx, scy, scz):
+        nearv = jnp.zeros(scx.shape, bool)
+        for x0, x1, y0, y1, z0, z1 in boxes:
+            nearv = nearv | (
+                (scx >= x0) & (scx <= x1)
+                & (scy >= y0) & (scy <= y1)
+                & (scz >= z0) & (scz <= z1)
+            )
+        return jnp.max(nearv.astype(jnp.int32)) > 0
+
+    return near
 
 
 def edit_smem_args(ps, pd):
@@ -828,6 +857,13 @@ def edit_smem_args(ps, pd):
     )
     if ps.n_edits <= EDIT_GATE_MIN:
         return (ekey, eflg)
+    if pd.get("edit_cboxes") is not None:
+        # per-coarse-block tight boxes (render/scene._proc_finalize):
+        # the gate tests lanes against each box, so chunks near ONE part
+        # of the world's bounding extent but far from every actual edit
+        # cluster stay on the edit-free body
+        return (ekey, eflg, pd["edit_cboxes"].astype(jnp.int32).reshape(-1))
+    # fallback (hand-built pd without boxes): one global AABB
     big = jnp.int32(1 << 20)
     lo = jnp.where(valid[:, None], ec, big)
     hi = jnp.where(valid[:, None], ec, -big)

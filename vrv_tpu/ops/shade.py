@@ -214,6 +214,40 @@ def _fetch_set(atlas: jax.Array, t: jax.Array, u: jax.Array,
     return _fetch_atlas_onehot(atlas, t, u, v, tex_set, mode=mode)
 
 
+def _fetch_set_texel(atlas: jax.Array, t: jax.Array, texel: jax.Array,
+                     tex_set: tuple):
+    """The measured-optimal 'split' small-set fetch taking the TEXEL
+    index directly (the in-kernel-radiance records carry ty*16+tx, not
+    uv): one one-hot dot per texel — XLA rewrites it into the streaming
+    index-loop fusion that beat 'take'/'dot'/'mxu' on-chip (docs/PERF.md
+    round-3 tex_fetch table; the round-5 ikr xprof re-measured take's
+    penalty at ~20 ms of layout copies + slower gathers per frame) —
+    then the K-way content-group select chain. Rows whose t is outside
+    the set return 0 (identical to _fetch_atlas_onehot)."""
+    groups, reps = _tex_groups(tex_set)
+    size2 = atlas.shape[1] * atlas.shape[2]
+    C = atlas.shape[-1]
+    K = len(groups)
+    onehot = (
+        texel[:, None] == jnp.arange(size2, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+    table = (
+        atlas[jnp.asarray(reps)]
+        .reshape(K, size2, C)
+        .transpose(1, 0, 2)
+        .reshape(size2, K * C)
+    )
+    rows = jnp.dot(
+        onehot, table,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(-1, K, C)
+    out = jnp.zeros((t.shape[0], C), jnp.float32)
+    for k, g in enumerate(groups):
+        out = jnp.where(_group_mask(t, g)[:, None], rows[:, k], out)
+    return out
+
+
 def _fetch_atlas_take(atlas: jax.Array, t: jax.Array, u: jax.Array,
                       v: jax.Array, tex_set: tuple):
     """tex_set fetch as ONE combined-index row gather: k = position of t's

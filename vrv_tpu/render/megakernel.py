@@ -392,7 +392,8 @@ def render_samples(
     # fused path: hits can only be grass/stone (lambert worldgen) -> the
     # atlas fetch rides the MXU over that small static texture set
     tex_set = None
-    if fused_traces is not None and cfg.pallas_onehot_tex:
+    if (fused_traces is not None or ikr_out is not None) \
+            and cfg.pallas_onehot_tex:
         blocks = {proc_static.grass, proc_static.stone}
         if proc_static.n_edits:
             # edited cells can carry any opaque-lambert block, plus the
@@ -441,7 +442,14 @@ def render_samples(
             branch = (code >> 1) & 3
             key = (code >> 3) & 0x3FFF
             with jax.named_scope(f"ikr_fetch_b{b}"):
-                row = jnp.take(packed_flat, key, axis=0)
+                if tex_set is not None:
+                    # the measured-optimal 'split' fusion over the
+                    # dedup'd content groups (the take() row gather paid
+                    # ~20 ms/frame of layout copies — round-5 xprof)
+                    row = shade._fetch_set_texel(
+                        pk, key >> 8, key & 255, tex_set)
+                else:
+                    row = jnp.take(packed_flat, key, axis=0)
             refl = row[:, :3]
             em = row[:, 4:7]
             refl_lambert = refl / shade._PI

@@ -440,11 +440,34 @@ class Scene:
             "coarse": jnp.asarray(coarse_np),
         }
         if cap:
+            # per-coarse-block tight boxes of the edit set: the kernels'
+            # per-chunk edit gate tests lanes against these (inflated by
+            # chunk reach) instead of one global AABB — a camera looking
+            # AT a build would otherwise gate most view-center chunks ON
+            # (round-5 on-chip: global AABB left edits256 at 41% of the
+            # headline rate). Host-side (cells are host-known); pow2 pad
+            # rows are impossible boxes (lo > hi)
+            groups: dict = {}
+            for i, (c, b) in enumerate(sorted(self._proc_diff.items())):
+                groups.setdefault(
+                    (c[0] >> 3, c[1] >> 3, c[2] >> 3), []
+                ).append(c)
+            nb = len(groups)
+            cb_cap = max(4, 1 << max(0, (nb - 1)).bit_length()) if nb else 4
+            big = 1 << 20
+            cboxes = np.full((cb_cap, 6), big, np.int32)
+            cboxes[:, 1::2] = -big
+            for i, cells_g in enumerate(groups.values()):
+                a = np.asarray(cells_g, np.int64)
+                cboxes[i] = [a[:, 0].min(), a[:, 0].max(),
+                             a[:, 1].min(), a[:, 1].max(),
+                             a[:, 2].min(), a[:, 2].max()]
             self.proc_arrays.update(
                 edit_cells=jnp.asarray(cells),
                 edit_blocks=jnp.asarray(blocks),
                 edit_solid=jnp.asarray(solidv),
                 edit_translucent=jnp.asarray(transl),
+                edit_cboxes=jnp.asarray(cboxes),
             )
 
     # ------------------------------------------------------------------
