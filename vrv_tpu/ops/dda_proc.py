@@ -87,9 +87,17 @@ class ProcStatic(NamedTuple):
     # DEFAULT placed block, quirk Q7). The fused kernel's retire branches
     # the scatter on these constants (reflect vs cosine), so mirror
     # placements stay on the fast path; translucent == ~solid still
-    # holds (opaque). Glass (texel-varying alpha, translucent) is not in
-    # this class.
+    # holds (opaque). Glass (texel-varying alpha, translucent) is in
+    # edit_glass instead.
     edit_mats: tuple = ()
+    # TRANSLUCENT const-metal edit blocks with byte-exact per-texel
+    # alpha (the glass class): ((block_id, (metal_f0..f5),
+    # ((words64 face0), ..., (words64 face5))), ...). The kernel's march
+    # then carries a translucency bit (hit = entering solid from
+    # translucent OR exiting solid into translucent — the mesher's face
+    # emission rule), and the retire's scatter reads alpha from the
+    # per-face constant word trees exactly like the instance machinery.
+    edit_glass: tuple = ()
     # True when the fused path kernel can carry the current edit set:
     # every edited-in block is air, opaque-lambert, or in edit_mats.
     edits_fused: bool = True

@@ -281,13 +281,23 @@ def _path_kernel(
                 out[c] = jnp.where(m, inst_rows[j][c], out[c])
         return out
 
-    def solid_at(cx, cy, cz, inside, use_edits=True):
+    # glass-class edits (ProcStatic.edit_glass) make translucency a real
+    # per-cell property: the march then carries a translucency bit in
+    # BIT 1 of the cur_solid_i state word (no state-shape change) and
+    # hits on solid<->translucent transitions (the mesher's face
+    # emission rule) — exactly trace_proc._trace_kernel's edited-world
+    # semantics. Without glass, translucent == ~solid and the bit stays 0.
+    GE = tuple(ps.edit_glass) if E else ()
+    has_tl = bool(GE)
+
+    def solid_tl_at(cx, cy, cz, inside, use_edits=True):
         # eligibility (edits_fused, checked by trace_path_pallas)
-        # guarantees every edit block is air or OPAQUE (lambert or
-        # edit_mats constant-material), so translucent == ~solid holds
-        # and the solid override suffices. use_edits=False compiles the
-        # pure-worldgen form for the per-chunk edit gate (legal only when
-        # no edit cell is reachable from the chunk)
+        # guarantees every edit block is air, OPAQUE (lambert or
+        # edit_mats constant-material), or glass-class (edit_glass).
+        # use_edits=False compiles the pure-worldgen form for the
+        # per-chunk edit gate (legal only when no edit cell is reachable
+        # from the chunk). Returns (solid, translucent) — formula order
+        # mirrors trace_proc._trace_kernel.solid_tl_at.
         wx = cx.astype(f32) + gox
         wy = cy.astype(f32) + goy
         wz = cz.astype(f32) + goz
@@ -297,16 +307,24 @@ def _path_kernel(
             - wy * inv_falloff
         )
         s = dens > thr
+        edited_b = tl_i = None
         if E and use_edits:
-            s, _, _ = _apply_edits(cx, cy, cz, s, edits)
-        return s & inside
+            s, edited_b, tl_i = _apply_edits(cx, cy, cz, s, edits)
+        s = s & inside
+        t = ~s
+        if E and use_edits and has_tl:
+            t = (edited_b & (tl_i != 0)) | (~edited_b & t)
+        return s, t
+
+    def solid_at(cx, cy, cz, inside, use_edits=True):
+        return solid_tl_at(cx, cy, cz, inside, use_edits)[0]
 
     def init_march(ox, oy, oz, dx, dy, dz, want):
         """Fresh march state for rays in `want` (dda_proc._init formulas).
 
-        Returns (cx, cy, cz (i32), cur_solid, mhit, mdead (bool),
-        t (f32), face (i32), hx, hy, hz (i32), entering (bool)) — the
-        per-bounce trace record accumulators start zeroed.
+        Returns (cx, cy, cz (i32), cur_pack (i32: solid | tl<<1), mhit,
+        mdead (bool), t (f32), face (i32), hx, hy, hz (i32), entering
+        (bool)) — the per-bounce trace record accumulators start zeroed.
         """
         bigx = jnp.abs(dx) < tiny
         bigy = jnp.abs(dy) < tiny
@@ -332,7 +350,10 @@ def _path_kernel(
         cx = jnp.clip(jnp.floor(ox + t0 * dx).astype(i32), 0, X - 1)
         cy = jnp.clip(jnp.floor(oy + t0 * dy).astype(i32), 0, Y - 1)
         cz = jnp.clip(jnp.floor(oz + t0 * dz).astype(i32), 0, Z - 1)
-        cur_solid = solid_at(cx, cy, cz, valid)
+        cur_solid, cur_tl = solid_tl_at(cx, cy, cz, valid)
+        cur_pack = cur_solid.astype(i32)
+        if has_tl:
+            cur_pack = cur_pack | (cur_tl.astype(i32) << 1)
 
         starts_outside = t_enter > f32(t_min)
         entry_face = enter_axis * 2 + jnp.where(d_enter > 0, 0, 1)
@@ -341,7 +362,7 @@ def _path_kernel(
         )
         zero = jnp.zeros_like(cx)
         return (
-            cx, cy, cz, cur_solid,
+            cx, cy, cz, cur_pack,
             hit0,                                   # mhit
             ~valid & want,                          # mdead (invalid from start)
             jnp.where(hit0, t_enter, f32(0.0)),     # t
@@ -413,7 +434,7 @@ def _path_kernel(
         pb0,                                    # pbounce
         ox0, oy0, oz0, dx0, dy0, dz0, ix, iy, iz,
         cx, cy, cz,
-        cur_solid.astype(i32), mhit.astype(i32), mdead.astype(i32),
+        cur_solid, mhit.astype(i32), mdead.astype(i32),
         t, face, hx, hy, hz, entering.astype(i32),
         inst_st, sh_st, sc0,
         recs0,
@@ -437,7 +458,8 @@ def _path_kernel(
         (pbounce, ox, oy, oz, dx, dy, dz, ix, iy, iz, scx, scy, scz,
          cur_solid_i, mhit_i, mdead_i, t, face, hx, hy, hz, entering_i,
          inst_st, sh_st, sc_st, recs, chunks) = s
-        cur_solid = cur_solid_i != 0
+        cur_solid = (cur_solid_i & 1) != 0
+        cur_tl = ((cur_solid_i >> 1) & 1) != 0 if has_tl else None
         mhit = mhit_i != 0
         mdead = mdead_i != 0
         entering = entering_i != 0
@@ -471,10 +493,19 @@ def _path_kernel(
         ny = jnp.where(can_skip, ky, ey_)
         nz = jnp.where(can_skip, kz, ez_)
         inside = (can_skip & skip_inside) | (~can_skip & inside_exact)
-        new_solid = solid_at(nx, ny, nz, inside & marching, use_edits)
+        new_solid, new_tl = solid_tl_at(nx, ny, nz, inside & marching,
+                                        use_edits)
 
-        entering_hit = new_solid & ~cur_solid & ~can_skip
-        exiting_hit = cur_solid & ~new_solid & ~can_skip
+        if has_tl:
+            # mesher face-emission rule under translucent (glass) cells:
+            # hit entering solid FROM a translucent cell, or exiting a
+            # solid INTO a translucent one (trace_proc._trace_kernel's
+            # edited-world semantics)
+            entering_hit = new_solid & cur_tl & ~can_skip
+            exiting_hit = cur_solid & new_tl & ~can_skip
+        else:
+            entering_hit = new_solid & ~cur_solid & ~can_skip
+            exiting_hit = cur_solid & ~new_solid & ~can_skip
         in_range = (t_next >= f32(t_min)) & (t_next <= tmax_v)
         any_hit = marching & in_range & (entering_hit | exiting_hit)
         if opt:
@@ -521,16 +552,20 @@ def _path_kernel(
             dead_now = dead_now | (
                 marching & ~any_hit & (inst_st[0] != 0) & (t_prog > inst_st[1])
             )
+        new_pack = new_solid.astype(i32)
+        if has_tl:
+            new_pack = new_pack | (new_tl.astype(i32) << 1)
         if opt >= 2:
             ncx, ncy, ncz = nx, ny, nz
-            ncur = new_solid.astype(i32)
+            ncur = new_pack
         else:
             keep = ~marching
             ncx = jnp.where(keep, scx, nx)
             ncy = jnp.where(keep, scy, ny)
             ncz = jnp.where(keep, scz, nz)
-            # bitwise select: Mosaic rejects select_n on i1 vectors
-            ncur = ((keep & cur_solid) | (~keep & new_solid)).astype(i32)
+            # int select (was a bitwise i1 select pre-glass — Mosaic
+            # rejects select_n on i1 vectors; the packed word is i32)
+            ncur = jnp.where(keep, cur_solid_i, new_pack)
         return (
             pbounce, ox, oy, oz, dx, dy, dz, ix, iy, iz,
             ncx, ncy, ncz,
@@ -662,6 +697,16 @@ def _path_kernel(
             v1 = _sel_face(face, [fc[key1][f][c] for f in range(6)])
             return jnp.where(tri1, v1, v0)
 
+        def _affine_uv(key):
+            # voxel uv via the per-face affine tables (shade.resolve_hit:
+            # u = cu0 + ((cu1*fx + cu2*fy) + cu3*fz)) — shared by the
+            # glass-alpha lookup and the radiance-record texel
+            c0 = _sel_face(face, [fc[key][f][0] for f in range(6)])
+            c1 = _sel_face(face, [fc[key][f][1] for f in range(6)])
+            c2 = _sel_face(face, [fc[key][f][2] for f in range(6)])
+            c3 = _sel_face(face, [fc[key][f][3] for f in range(6)])
+            return c0 + ((c1 * frx + c2 * fry) + c3 * frz)
+
         nx_ = _sel_face(face, [fc["normal"][f][0] for f in range(6)])
         ny_ = _sel_face(face, [fc["normal"][f][1] for f in range(6)])
         nz_ = _sel_face(face, [fc["normal"][f][2] for f in range(6)])
@@ -766,21 +811,49 @@ def _path_kernel(
             hpz = jnp.where(inst_wins, ipz, hpz)
 
         EM = tuple(ps.edit_mats) if E else ()
-        if EM:
-            # --- edited-cell constant-material scatter (mirror class):
-            # the hit cell's edit block selects per-face constant
-            # metallicity (alpha == 1 by eligibility), and draw slot 0
-            # branches reflect-vs-cosine exactly like shade_resolved does
-            # with the fetched (constant) metallicity texel — so placing
-            # the DEFAULT mirror block (quirk Q7) keeps the fused path ---
+        if EM or GE:
+            # --- edited-cell constant-material scatter: the hit cell's
+            # edit block selects per-face constant metallicity (EM =
+            # mirror class, alpha == 1) or per-face constant metallicity
+            # + per-texel byte-exact alpha (GE = glass class); draw slot
+            # 0 branches mirror/transmit/cosine exactly like
+            # shade_resolved does with the fetched texel — so placing
+            # the DEFAULT mirror block (quirk Q7) or glass keeps the
+            # fused path ---
             keyh0 = (hx << 20) | (hy << 10) | hz
             metal_v = jnp.zeros_like(ox)
+            one_f = jnp.ones_like(ox)
+            alpha_v = one_f
+            if GE:
+                # glass alpha: texel from the per-face uv affine (same
+                # math the rad block uses), byte words per (block, face)
+                gtx = jnp.clip((_affine_uv("cu") * 16.0).astype(i32),
+                               0, 15)
+                gty = jnp.clip((_affine_uv("cv") * 16.0).astype(i32),
+                               0, 15)
+                gtexel = gty * 16 + gtx
             for e in range(E):
                 mi_e = keyh0 == edits[0][e]
                 for blk_id, mets in EM:
                     mb = mi_e & (edits[3][e] == blk_id)
                     metal_v = jnp.where(
                         mb, _sel_face(face, list(mets)), metal_v
+                    )
+                for blk_id, mets, words6 in GE:
+                    mb = mi_e & (edits[3][e] == blk_id)
+                    metal_v = jnp.where(
+                        mb, _sel_face(face, list(mets)), metal_v
+                    )
+                    aw = jnp.zeros_like(keyh0)
+                    for f_i in range(6):
+                        aw = jnp.where(
+                            face == f_i,
+                            _const_word_tree(words6[f_i], gtexel >> 2),
+                            aw,
+                        )
+                    ab = (aw >> (8 * (gtexel & 3))) & 0xFF
+                    alpha_v = jnp.where(
+                        mb, ab.astype(f32) / f32(255.0), alpha_v
                     )
             r0v = _draw(seed_b, 0)
             vmirror = vox_hit & (r0v < metal_v)
@@ -789,13 +862,28 @@ def _path_kernel(
             ndx = jnp.where(vmirror, dx - 2.0 * vdot * nx_, ndx)
             ndy = jnp.where(vmirror, dy - 2.0 * vdot * ny_, ndy)
             ndz = jnp.where(vmirror, dz - 2.0 * vdot * nz_, ndz)
+            if GE:
+                # transmissive straight-through (reflectivity := 1 on the
+                # XLA side; quirk Q12) — shade_resolved's branch rule
+                vtrans = (
+                    vox_hit & ~vmirror
+                    & (r0v < metal_v + (1.0 - alpha_v))
+                )
+                ndx = jnp.where(vtrans, dx, ndx)
+                ndy = jnp.where(vtrans, dy, ndy)
+                ndz = jnp.where(vtrans, dz, ndz)
+            else:
+                vtrans = None
         else:
             vmirror = None
+            vtrans = None
 
         if n_lights:
             # shading normal at the resolved hit (instance override when
             # the instance won) — the light sampler's hemisphere
             vox_lam = vox_hit if vmirror is None else (vox_hit & ~vmirror)
+            if vtrans is not None:
+                vox_lam = vox_lam & ~vtrans
             if n_inst:
                 nsx = jnp.where(inst_wins, inx, nx_)
                 nsy = jnp.where(inst_wins, iny, ny_)
@@ -989,17 +1077,8 @@ def _path_kernel(
         if rad is not None:
             # --- per-bounce radiance records (code, cos_in, spdf/rpdf) ---
             r_inst_ids = rad[4]
-            # voxel uv via the per-face affine tables (shade.resolve_hit:
-            # u = cu0 + ((cu1*fx + cu2*fy) + cu3*fz))
-            def _affine(key):
-                c0 = _sel_face(face, [fc[key][f][0] for f in range(6)])
-                c1 = _sel_face(face, [fc[key][f][1] for f in range(6)])
-                c2 = _sel_face(face, [fc[key][f][2] for f in range(6)])
-                c3 = _sel_face(face, [fc[key][f][3] for f in range(6)])
-                return c0 + ((c1 * frx + c2 * fry) + c3 * frz)
-
-            u_v = _affine("cu")
-            v_v = _affine("cv")
+            u_v = _affine_uv("cu")
+            v_v = _affine_uv("cv")
             vtx = jnp.clip((u_v * 16.0).astype(i32), 0, 15)
             vty = jnp.clip((v_v * 16.0).astype(i32), 0, 15)
             texel_v = vty * 16 + vtx
@@ -1030,6 +1109,8 @@ def _path_kernel(
             br_code = jnp.zeros_like(face)
             if vmirror is not None:
                 br_code = jnp.where(vmirror, 1, br_code)
+            if vtrans is not None:
+                br_code = jnp.where(vtrans, 2, br_code)
             if n_inst:
                 tid_i = jnp.zeros_like(face)
                 for si, t_id in enumerate(r_inst_ids):
@@ -1164,7 +1245,7 @@ def _path_kernel(
             n_pbounce, n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
             merge_f(iix, ix), merge_f(iiy, iy), merge_f(iiz, iz),
             merge_f(icx, scx), merge_f(icy, scy), merge_f(icz, scz),
-            merge_b(icur, cur_solid_i != 0).astype(i32),
+            merge_f(icur, cur_solid_i),
             merge_b(imhit, mhit & ~resolved).astype(i32),
             merge_b(imdead, mdead & ~resolved).astype(i32),
             merge_f(it, jnp.where(resolved, f32(0.0), t)),

@@ -397,9 +397,11 @@ def render_samples(
         blocks = {proc_static.grass, proc_static.stone}
         if proc_static.n_edits:
             # edited cells can carry any opaque-lambert block, plus the
-            # mirror-class constant-material blocks (edit_mats)
+            # mirror-class (edit_mats) and glass-class (edit_glass)
+            # constant-material blocks
             blocks |= set(proc_static.lambert_blocks)
             blocks |= {b for b, _ in proc_static.edit_mats}
+            blocks |= {b for b, _, _ in proc_static.edit_glass}
         tex_ids = {b * 6 + f for b in sorted(blocks) for f in range(6)}
         if inst_in_kernel:
             tex_ids |= set(inst_static[0])

@@ -417,23 +417,63 @@ class Scene:
                 mets.append(float(m.flat[0]))
             return tuple(mets)
 
+        def _glass_class(b: int):
+            """(metal x6, alpha-words x6) for a TRANSLUCENT block with
+            per-face constant metallicity and byte-exact per-texel alpha
+            (the glass class) — the kernel reconstructs alpha as byte/255
+            in f32 exactly like the asset loader, the same gate
+            set_instances applies to instance textures."""
+            mets, words6 = [], []
+            for f in range(6):
+                m = t.metallicity[b * 6 + f]
+                if float(m.max()) != float(m.min()):
+                    return None
+                mets.append(float(m.flat[0]))
+                a_f32 = t.reflectivity[b * 6 + f][..., 3].astype(np.float32)
+                if not (np.all(a_f32 >= 0.0) and np.all(a_f32 <= 1.0)):
+                    return None
+                ab = np.round(
+                    a_f32.astype(np.float64) * 255.0
+                ).astype(np.uint32).ravel()
+                if not np.array_equal(
+                    ab.astype(np.float32) / np.float32(255.0), a_f32.ravel()
+                ):
+                    return None
+                words6.append(tuple(
+                    int(ab[4 * w] | (ab[4 * w + 1] << 8)
+                        | (ab[4 * w + 2] << 16) | (ab[4 * w + 3] << 24))
+                    for w in range(64)
+                ))
+            return tuple(mets), tuple(words6)
+
         edits_lambert = True
         edit_mats = {}
+        edit_glass = {}
         edits_fused = True
         for b in set(self._proc_diff.values()):
             if b == t.air or b in self._lambert_blocks:
                 continue
             edits_lambert = False
-            mats = _const_opaque(b)
-            if mats is None:
-                edits_fused = False
+            if bool(t.translucent[b]):
+                gl = _glass_class(b)
+                if gl is None:
+                    edits_fused = False
+                else:
+                    edit_glass[int(b)] = gl
             else:
-                edit_mats[int(b)] = mats
+                mats = _const_opaque(b)
+                if mats is None:
+                    edits_fused = False
+                else:
+                    edit_mats[int(b)] = mats
         self.proc_static = ps0._replace(
             n_edits=cap,
             edits_lambert=edits_lambert,
             edits_fused=edits_fused,
             edit_mats=tuple(sorted(edit_mats.items())),
+            edit_glass=tuple(
+                (b, m, w) for b, (m, w) in sorted(edit_glass.items())
+            ),
             lambert_blocks=self._lambert_blocks if cap else (),
         )
         self.proc_arrays = {
