@@ -221,10 +221,13 @@ def test_fused_path_with_edits_bit_identical(block_table, interpret_pallas):
     assert int(tr_base.cell[0, 1]) != y_top + 1
 
 
-def test_glass_edit_evicts_fused_but_not_pallas(block_table, interpret_pallas):
-    """A glass (transmissive) edit must evict the FUSED kernel (its
-    in-kernel scatter is statically cosine) but the staged pallas tracer
-    still runs, with the translucency carry handling the pane."""
+def test_glass_edit_stays_fused_since_round5(block_table, interpret_pallas):
+    """A glass (transmissive) edit used to evict the FUSED kernel; since
+    round 5 the glass class (ProcStatic.edit_glass: translucency carry +
+    byte-exact alpha trees) stays in-kernel and matches the staged XLA
+    tracer bit-for-bit. A genuinely unfusable block (texturetest:
+    texel-varying alpha, opaque) still evicts — gated in
+    tests/test_edit_mirror.py."""
     g = 32
     wc = WorldConfig(size=(g, g, g), origin=(-g // 2, -g // 2, -g // 2), seed=0)
     sc = Scene(wc, table=block_table)
@@ -235,25 +238,25 @@ def test_glass_edit_evicts_fused_but_not_pallas(block_table, interpret_pallas):
     assert sc.set_block(np.array([0, int(ys.max()) + 2, 0]) + org,
                         int(block_table.block_idx("glass")))
     assert not sc.proc_static.edits_lambert
+    assert sc.proc_static.edits_fused and sc.proc_static.edit_glass
 
     eye, front, right, up = _cam()
     cfg = RenderConfig(width=16, height=8, samples_per_pixel=1, max_bounces=3,
-                       tracer="proc", pallas_unroll=1)
+                       tracer="proc", pallas_unroll=1,
+                       pallas_inkernel_radiance=False)
 
     import vrv_tpu.ops.pallas.path_proc as pp
-    import vrv_tpu.ops.pallas.trace_proc as tpm
 
-    fused_calls, staged_calls = [], []
-    real_f, real_s = pp.trace_path_pallas, tpm.trace_proc_pallas
-    pp.trace_path_pallas = lambda *a, **k: (fused_calls.append(1), real_f(*a, **k))[1]
-    tpm.trace_proc_pallas = lambda *a, **k: (staged_calls.append(1), real_s(*a, **k))[1]
+    fused_calls = []
+    real_f = pp.trace_path_pallas
+    pp.trace_path_pallas = lambda *a, **k: (
+        fused_calls.append(1), real_f(*a, **k))[1]
     try:
         got = np.asarray(sc.render_samples(
             eye, front, right, up, 0, cfg.replace(proc_backend="pallas")))
     finally:
         pp.trace_path_pallas = real_f
-        tpm.trace_proc_pallas = real_s
-    assert not fused_calls and staged_calls
+    assert fused_calls
 
     ref = np.asarray(sc.render_samples(
         eye, front, right, up, 0, cfg.replace(proc_backend="xla")))
