@@ -564,6 +564,22 @@ def cmd_entry(args):
         assert e256_scene.proc_static is not None, "256 edits must stay proc"
         assert e256_scene.proc_static.edits_fused
         variants["entry_edits256"] = (e256_scene, cam_e, cfg)
+        # edit-gate / edit-compare formulation A/B (ProcStatic knobs;
+        # value-identical — the round-5 session-2 regression hunt)
+        import copy as _copy
+
+        for nm, repl in (
+            ("entry_e256_aabb", dict(edit_gate_mode="aabb")),
+            ("entry_e256_off", dict(edit_gate_mode="off")),
+            ("entry_e256_i32", dict(edit_cmp="i32")),
+            ("entry_e256_aabb_i32",
+             dict(edit_gate_mode="aabb", edit_cmp="i32")),
+            ("entry_e256_off_i32",
+             dict(edit_gate_mode="off", edit_cmp="i32")),
+        ):
+            sc_v = _copy.copy(e256_scene)
+            sc_v.proc_static = e256_scene.proc_static._replace(**repl)
+            variants[nm] = (sc_v, cam_e, cfg)
     only = _only
     for name, v in variants.items():
         if only and name not in only.split(","):

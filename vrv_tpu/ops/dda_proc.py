@@ -90,6 +90,16 @@ class ProcStatic(NamedTuple):
     # holds (opaque). Glass (texel-varying alpha, translucent) is in
     # edit_glass instead.
     edit_mats: tuple = ()
+    # Edit-gate + per-edit-compare formulation knobs (A/B diagnostics;
+    # all value-identical): gate 'boxes' = per-coarse-block tight boxes,
+    # 'aabb' = one global AABB, 'off' = dense per-step compares
+    # everywhere; cmp 'bool' = mask-op accumulate, 'i32' = the round-4
+    # convert+multiply form. On-chip pricing in docs/PERF.md round 5.
+    edit_gate_mode: str = "boxes"
+    # on-chip verdict (docs/PERF.md round-5 gate hunt): the i32
+    # compare+multiply form beats the i1 mask-op form by ~30% at E=256 —
+    # Mosaic legalizes vector i1 accumulate chains poorly
+    edit_cmp: str = "i32"
     # TRANSLUCENT const-metal edit blocks with byte-exact per-texel
     # alpha (the glass class): ((block_id, (metal_f0..f5),
     # ((words64 face0), ..., (words64 face5))), ...). The kernel's march

@@ -171,7 +171,7 @@ def _path_kernel(
 
     from vrv_tpu.ops.pallas.trace_proc import EDIT_GATE_MIN
 
-    gate = E > EDIT_GATE_MIN
+    gate = E > EDIT_GATE_MIN and ps.edit_gate_mode != "off"
     k = 0
     if E:
         ek_ref, ef_ref = refs[0], refs[1]
@@ -309,7 +309,8 @@ def _path_kernel(
         s = dens > thr
         edited_b = tl_i = None
         if E and use_edits:
-            s, edited_b, tl_i = _apply_edits(cx, cy, cz, s, edits)
+            s, edited_b, tl_i = _apply_edits(cx, cy, cz, s, edits,
+                                             cmp=ps.edit_cmp)
         s = s & inside
         t = ~s
         if E and use_edits and has_tl:
@@ -1278,8 +1279,11 @@ def _path_kernel(
         near_fn = _make_near(ebox_ref, max(1, unroll))
 
         def _gated_chunk(s):
+            # marching lanes only: pbounce < B and unresolved (drifting
+            # resolved-lane cells otherwise pollute the near test)
+            act = (s[0] < B) & (s[14] == 0) & (s[15] == 0)
             return jax.lax.cond(
-                near_fn(s[10], s[11], s[12]),
+                near_fn(s[10], s[11], s[12], act),
                 lambda ss: _chunk(ss, True),
                 lambda ss: _chunk(ss, False),
                 s,

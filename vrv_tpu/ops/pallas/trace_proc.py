@@ -287,7 +287,7 @@ def _edit_overrides(ek_ref, ef_ref, n_edits):
     return ekeys, esol, etl, eblk
 
 
-def _apply_edits(cx, cy, cz, wg_solid, edits):
+def _apply_edits(cx, cy, cz, wg_solid, edits, cmp="bool"):
     """(solid, translucent) for candidate cells, worldgen + edit overrides.
 
     wg_solid excludes the `inside` mask (applied by the caller after the
@@ -300,6 +300,19 @@ def _apply_edits(cx, cy, cz, wg_solid, edits):
     (tools/vpu_probe.py op prices). Same boolean values."""
     ekeys, esol, etl = edits[:3]
     key = (cx << 20) | (cy << 10) | cz
+    if cmp == "i32":
+        i32 = jnp.int32
+        edited = jnp.zeros_like(cx)
+        sol_i = jnp.zeros_like(cx)
+        tl_i = jnp.zeros_like(cx)
+        for e in range(len(ekeys)):
+            mi = (key == ekeys[e]).astype(i32)
+            edited = edited | mi
+            sol_i = sol_i | (mi * esol[e])
+            tl_i = tl_i | (mi * etl[e])
+        edited_b = edited != 0
+        solid = (edited_b & (sol_i != 0)) | (~edited_b & wg_solid)
+        return solid, edited_b, tl_i
     edited_b = jnp.zeros(cx.shape, bool)
     sol_b = jnp.zeros(cx.shape, bool)
     tl_b = jnp.zeros(cx.shape, bool)
@@ -558,7 +571,7 @@ def _trace_kernel(
     seed_mix = _seed_mix(ps.seed)
     E = ps.n_edits
 
-    gate = E > EDIT_GATE_MIN
+    gate = E > EDIT_GATE_MIN and getattr(ps, "edit_gate_mode", "boxes") != "off"
     if E and gate:
         (ek_ref, ef_ref, ebox_ref, ox_ref, oy_ref, oz_ref,
          dx_ref, dy_ref, dz_ref, *rest) = refs
@@ -621,7 +634,8 @@ def _trace_kernel(
         )
         s = dens > thr
         if E and use_edits:
-            s, edited_b, tl_i = _apply_edits(cx, cy, cz, s, edits)
+            s, edited_b, tl_i = _apply_edits(cx, cy, cz, s, edits,
+                                             cmp=ps.edit_cmp)
         s = s & inside
         t = ~s
         if E and use_edits:
@@ -772,7 +786,7 @@ def _trace_kernel(
 
         def body(s):
             return jax.lax.cond(
-                near_fn(s[1], s[2], s[3]),
+                near_fn(s[1], s[2], s[3], s[0] != 0),
                 lambda ss: _chunk(ss, True),
                 lambda ss: _chunk(ss, False),
                 s,
@@ -821,7 +835,12 @@ def _make_near(ebox_ref, k_steps):
             ebox_ref[c * 6 + 4] - m, ebox_ref[c * 6 + 5] + m,
         ))
 
-    def near(scx, scy, scz):
+    def near(scx, scy, scz, active=None):
+        # `active` masks out resolved/dead lanes: their cells DRIFT
+        # (march_opt level 2 drops the freeze selects), and an unmasked
+        # test let drifting cells wander through the edit boxes until
+        # nearly every chunk gated ON (the round-5 gate hunt measured
+        # the unmasked gate NET-NEGATIVE vs dense compares)
         nearv = jnp.zeros(scx.shape, bool)
         for x0, x1, y0, y1, z0, z1 in boxes:
             nearv = nearv | (
@@ -829,6 +848,8 @@ def _make_near(ebox_ref, k_steps):
                 & (scy >= y0) & (scy <= y1)
                 & (scz >= z0) & (scz <= z1)
             )
+        if active is not None:
+            nearv = nearv & active
         return jnp.max(nearv.astype(jnp.int32)) > 0
 
     return near
@@ -855,9 +876,11 @@ def edit_smem_args(ps, pd):
         # constant-material scatter); the march itself only reads bits 0-1
         | (pd["edit_blocks"].astype(jnp.int32) << 2)
     )
-    if ps.n_edits <= EDIT_GATE_MIN:
+    if (ps.n_edits <= EDIT_GATE_MIN
+            or getattr(ps, "edit_gate_mode", "boxes") == "off"):
         return (ekey, eflg)
-    if pd.get("edit_cboxes") is not None:
+    if (pd.get("edit_cboxes") is not None
+            and getattr(ps, "edit_gate_mode", "boxes") == "boxes"):
         # per-coarse-block tight boxes (render/scene._proc_finalize):
         # the gate tests lanes against each box, so chunks near ONE part
         # of the world's bounding extent but far from every actual edit
