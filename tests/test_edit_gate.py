@@ -115,3 +115,27 @@ def test_cap_raised_past_64(block_table):
     staged = np.asarray(sc.render_samples(
         *cam, 1, cfg.replace(proc_backend="xla", nee_mode="split")))
     assert (fused == staged).all(), np.abs(fused - staged).max()
+
+
+def test_gate_and_cmp_formulations_identical(block_table):
+    """Every (edit_gate_mode, edit_cmp) combination is VALUE-identical —
+    the knobs exist only to let the chip A/B price the formulations
+    (docs/PERF.md round-5 gate hunt)."""
+    sc, cam = _edited_scene(block_table, n_edits=12, g=32, lamp=False)
+    cfg = RenderConfig(width=16, height=8, samples_per_pixel=1,
+                       max_bounces=2, beam_prepass=False, pallas_unroll=2,
+                       pallas_inkernel_radiance=False)
+    base_ps = sc.proc_static
+    ref = None
+    for gate in ("boxes", "aabb", "off"):
+        for cmp_ in ("i32", "bool"):
+            sc.proc_static = base_ps._replace(
+                edit_gate_mode=gate, edit_cmp=cmp_)
+            img = np.asarray(sc.render_samples(
+                *cam, 1, cfg.replace(proc_backend="pallas")))
+            if ref is None:
+                ref = img
+            else:
+                assert (img == ref).all(), (gate, cmp_)
+    sc.proc_static = base_ps
+    assert ref.std() > 0.5
